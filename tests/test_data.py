@@ -1,0 +1,121 @@
+"""Data layer tests: loaders, splits, preprocessing."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from grandtpu.data import load_data, get_train_val_test_split
+from grandtpu.data.preprocess import (
+    binarize_labels, col_standardize, row_normalize, to_undirected)
+
+
+def test_cora_shapes(cora):
+    assert cora.num_nodes == 2708
+    assert cora.num_features == 1433
+    assert cora.num_classes == 7
+    assert len(cora.idx_train) == 140
+    assert len(cora.idx_val) == 500
+    assert len(cora.idx_test) == 1000
+    # adjacency: symmetric, binary, no self loops in the raw planetoid graph
+    assert (cora.adj != cora.adj.T).nnz == 0
+    assert np.all(cora.adj.data == 1.0)
+    # features row-normalized: nonzero rows sum to 1
+    rowsum = np.asarray(cora.features.sum(1)).flatten()
+    nz = rowsum > 0
+    np.testing.assert_allclose(rowsum[nz], 1.0, atol=1e-5)
+
+
+def test_citeseer_loads():
+    d = load_data("citeseer", split_seed=0)
+    assert d.num_nodes == 3327
+    assert d.num_classes == 6
+    assert (d.adj != d.adj.T).nnz == 0
+    # citeseer's famous isolated nodes appear as self-loop-only rows
+    deg = np.asarray(d.adj.sum(1)).flatten()
+    diag = d.adj.diagonal()
+    assert ((deg == 1) & (diag == 1)).sum() == 48
+
+
+def test_stratified_split_semantics():
+    rng = np.random.RandomState(5)
+    labels = binarize_labels(rng.randint(0, 4, size=200))
+    rs = np.random.RandomState(7)
+    tr, va, te = get_train_val_test_split(
+        rs, labels, train_examples_per_class=5, val_examples_per_class=7)
+    assert len(tr) == 20 and len(va) == 28
+    assert len(set(tr) | set(va) | set(te)) == 200
+    # per-class counts equal
+    assert np.unique(labels[tr].sum(0)).size == 1
+    # reproducible
+    rs2 = np.random.RandomState(7)
+    tr2, va2, te2 = get_train_val_test_split(
+        rs2, labels, train_examples_per_class=5, val_examples_per_class=7)
+    np.testing.assert_array_equal(tr, tr2)
+    np.testing.assert_array_equal(va, va2)
+
+
+def test_split_matches_reference_algorithm():
+    """Draw-for-draw parity with the reference's sample_per_class
+    (utils/make_dataset.py:121-136) re-implemented verbatim-semantically
+    here with python loops."""
+    rng = np.random.RandomState(11)
+    labels = binarize_labels(rng.randint(0, 3, size=60))
+
+    def ref_sample(random_state, labels, n_per, forbidden=None):
+        num_samples, num_classes = labels.shape
+        per_class = {i: [] for i in range(num_classes)}
+        for c in range(num_classes):
+            for s in range(num_samples):
+                if labels[s, c] > 0.0:
+                    if forbidden is None or s not in forbidden:
+                        per_class[c].append(s)
+        return np.concatenate([
+            random_state.choice(per_class[c], n_per, replace=False)
+            for c in range(num_classes)])
+
+    from grandtpu.data.splits import sample_per_class
+    a = sample_per_class(np.random.RandomState(3), labels, 4)
+    b = ref_sample(np.random.RandomState(3), labels, 4)
+    np.testing.assert_array_equal(a, b)
+    # with forbidden indices
+    a2 = sample_per_class(np.random.RandomState(9), labels, 3,
+                          forbidden_indices=a)
+    b2 = ref_sample(np.random.RandomState(9), labels, 3, forbidden=a)
+    np.testing.assert_array_equal(a2, b2)
+
+
+def test_size_based_split():
+    rng = np.random.RandomState(2)
+    labels = binarize_labels(rng.randint(0, 5, size=300))
+    rs = np.random.RandomState(1)
+    tr, va, te = get_train_val_test_split(
+        rs, labels, train_size=40, val_size=60)
+    assert len(tr) == 40 and len(va) == 60 and len(te) == 200
+
+
+def test_preprocess_helpers():
+    m = sp.csr_matrix(np.array([[0, 2.0], [0, 0]]))
+    rn = row_normalize(m)
+    np.testing.assert_allclose(rn.toarray(), [[0, 1.0], [0, 0]])
+
+    x = np.array([[1.0, 5.0], [3.0, 5.0]])
+    cs = col_standardize(x)
+    np.testing.assert_allclose(cs.mean(0), 0.0, atol=1e-12)
+    np.testing.assert_allclose(cs[:, 1], 0.0)  # constant column -> 0
+
+    a = sp.csr_matrix(np.array([[0, 1.0], [0, 0]]))
+    u = to_undirected(a)
+    np.testing.assert_allclose(u.toarray(), [[0, 1], [1, 0]])
+
+
+def test_synthetic_registry():
+    d = load_data("synth:200:3:8", split_seed=0)
+    assert d.num_nodes == 200 and d.num_classes == 3
+    assert len(d.idx_train) == 60  # 20 per class
+    d2 = load_data("synth:100:2:8:sparse", split_seed=0)
+    assert d2.has_sparse_features
+
+
+def test_missing_dataset_raises():
+    with pytest.raises((NotImplementedError, FileNotFoundError)):
+        load_data("no_such_dataset")
