@@ -1,0 +1,99 @@
+"""Benchmark harness — run on the real TPU chip.
+
+Headline metric: edges/s of the exact-propagation SpMM power iteration (the
+reference's HOT LOOP #3, scipy ``adj.dot`` on the host, ``model.py:186-210``
+— which is also the measurement BASELINE.md names). vs_baseline compares
+against the reference engine: the identical power iteration with scipy CSR
+SpMM on this host's CPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Details go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_graph(n=300_000, avg_degree=30, f=128, seed=0):
+    from grandtpu.data import synthetic_graph
+    t0 = time.time()
+    adj, _, _ = synthetic_graph(num_nodes=n, num_classes=8, num_features=4,
+                                avg_degree=avg_degree, seed=seed)
+    adj = (adj + sp.eye(n, format="csr")).tocsr()
+    rs = np.random.RandomState(1)
+    feats = rs.rand(n, f).astype(np.float32)
+    log(f"graph: n={n} nnz={adj.nnz} f={f} built in "
+        f"{time.time() - t0:.1f}s")
+    return adj, feats
+
+
+def bench_tpu_spmm(adj, feats, order=5, alpha=0.2, repeats=3):
+    import jax
+    from grandtpu.infer import exact_propagate
+
+    t0 = time.time()
+    out = exact_propagate(adj, feats, mode="ppr", order=order, alpha=alpha,
+                          dense_threshold=0)
+    jax.block_until_ready(out)
+    log(f"tpu compile+first run: {time.time() - t0:.1f}s on "
+        f"{jax.devices()[0]}")
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = exact_propagate(adj, feats, mode="ppr", order=order,
+                              alpha=alpha, dense_threshold=0)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    edges_per_s = adj.nnz * order / best
+    log(f"tpu spmm: best {best:.3f}s over {repeats} -> "
+        f"{edges_per_s:.3e} edges/s")
+    return edges_per_s, np.asarray(out)
+
+
+def bench_host_scipy(adj, feats, order=5, alpha=0.2):
+    """The reference engine: scipy CSR SpMM power iteration on host CPU
+    (model.py:186-194)."""
+    x = alpha * feats.astype(np.float32)
+    prop = x.copy()
+    deg = np.asarray(adj.sum(1)).flatten()
+    dia = ((1 - alpha) / np.maximum(deg, 1e-12)).astype(np.float32)
+    t0 = time.time()
+    for _ in range(order):
+        x = dia[:, None] * adj.dot(x)
+        prop += x
+    dt = time.time() - t0
+    edges_per_s = adj.nnz * order / dt
+    log(f"host scipy spmm: {dt:.3f}s -> {edges_per_s:.3e} edges/s")
+    return edges_per_s, prop
+
+
+def main():
+    order = 5
+    adj, feats = build_graph()
+    host_eps, host_out = bench_host_scipy(adj, feats, order=order)
+    tpu_eps, tpu_out = bench_tpu_spmm(adj, feats, order=order)
+    # numerics sanity: TPU result must match the reference engine
+    err = np.max(np.abs(tpu_out - host_out)) / max(np.max(np.abs(host_out)),
+                                                   1e-9)
+    log(f"max rel err tpu vs host: {err:.2e}")
+    assert err < 1e-3, "TPU propagation diverged from reference engine"
+    print(json.dumps({
+        "metric": "spmm_propagation_edges_per_s",
+        "value": tpu_eps,
+        "unit": "edges/s",
+        "vs_baseline": tpu_eps / host_eps,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+"""Distribution layer: device meshes, sharded training, partitioned SpMM.
+
+The reference is single-process/single-GPU (SURVEY.md §2.3-2.4); this layer
+is new capability, built the TPU way: ``jax.sharding.Mesh`` +
+``NamedSharding`` annotations for GSPMD-auto-sharded training (XLA inserts
+the psums), and explicit ``shard_map`` + collectives for the row-partitioned
+full-graph propagation where we control the halo exchange.
+"""
+
+from grandtpu.dist.mesh import make_mesh  # noqa: F401
+from grandtpu.dist.data_parallel import shard_train_inputs  # noqa: F401
+from grandtpu.dist.spmm_shard import (  # noqa: F401
+    ShardedGraph, sharded_propagate,
+)

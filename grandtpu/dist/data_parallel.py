@@ -1,0 +1,83 @@
+"""Sharding annotations for the training step (GSPMD path).
+
+The jitted train step from ``grandtpu.train.step`` is pure and
+shape-static, so multi-chip training is a matter of placement, not new code:
+
+- batch rows               -> sharded over the 'data' mesh axis
+- features table [N, F]    -> sharded over 'data' rows (gathers become
+                              XLA-inserted collectives over ICI)
+- top-k table [n_src,Ktop] -> sharded over 'data' rows
+- MLP hidden weights       -> sharded over 'model' (tensor parallel; XLA
+                              inserts the psum after the second matmul)
+- everything else          -> replicated
+
+XLA's GSPMD propagates these seeds through the whole step — including the
+BatchNorm batch-mean (becomes a cross-replica mean) and the Adam update —
+which is exactly the "annotate and let the compiler insert collectives"
+recipe the scaling book prescribes.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _put(tree, mesh, spec):
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_train_inputs(mesh: Mesh, *, params, state, opt_state, features,
+                       tk_cols, tk_vals, shard_features: bool = True,
+                       tensor_parallel: bool = False):
+    """Place training state on the mesh. Returns the placed pytrees."""
+    repl = P()
+    if tensor_parallel:
+        params = _shard_params_tp(params, mesh)
+    else:
+        params = _put(params, mesh, repl)
+    state = _put(state, mesh, repl)
+    opt_state = _put(opt_state, mesh, repl)
+    feat_spec = P("data", None) if shard_features else repl
+    features = jax.device_put(features, NamedSharding(mesh, feat_spec))
+    tk_cols = jax.device_put(tk_cols, NamedSharding(mesh, P("data", None)))
+    tk_vals = jax.device_put(tk_vals, NamedSharding(mesh, P("data", None)))
+    return params, state, opt_state, features, tk_cols, tk_vals
+
+
+def _shard_params_tp(params, mesh: Mesh):
+    """Tensor-parallel placement of MLP weights: hidden dim over 'model'.
+
+    First layer [F, H] -> (None, 'model'); middle [H, H] -> ('model', None)
+    alternation is avoided (keep H sharded on output side, contract with
+    psum via GSPMD); final layer [H, C] -> ('model', None).
+    """
+    fcs = params["fcs"]
+    placed = []
+    n = len(fcs)
+    for i, fc in enumerate(fcs):
+        if n == 1:
+            w_spec, b_spec = P(), P()
+        elif i == 0:
+            w_spec, b_spec = P(None, "model"), P("model")
+        else:
+            # middle and final layers contract the sharded hidden dim;
+            # GSPMD inserts the psum after the matmul
+            w_spec, b_spec = P("model", None), P()
+        placed.append({
+            "w": jax.device_put(fc["w"], NamedSharding(mesh, w_spec)),
+            "b": jax.device_put(fc["b"], NamedSharding(mesh, b_spec)),
+        })
+    out = dict(params)
+    out["fcs"] = placed
+    out["bns"] = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+        params["bns"])
+    return out
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Shard per-step batch arrays over the data axis."""
+    sh = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

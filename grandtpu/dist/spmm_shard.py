@@ -1,0 +1,143 @@
+"""Row-partitioned full-graph propagation with explicit collectives.
+
+The scale-out analogue of the reference's host scipy SpMM loop
+(``model.py:186-210``) and the structural sibling of ring-attention's KV
+blocking (SURVEY.md §5 long-context entry): the adjacency is split into
+contiguous row blocks, one per device; each power-iteration step all-gathers
+the feature shard over ICI, then every device computes its row block with a
+local gather + scatter-add. XLA overlaps the all-gather with the local
+compute where profitable.
+
+Used for multi-chip exact inference (Amazon2M/MAG scale) and by the
+multichip dry run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedGraph:
+    """Adjacency split into S contiguous row blocks of equal (padded) size.
+
+    edges are stored stacked per shard, padded to the max per-shard edge
+    count with rows pointing at the local discard slot.
+    """
+
+    rows_local: jnp.ndarray   # int32 [S, E_max]  local row idx (pad: rows_per)
+    cols: jnp.ndarray         # int32 [S, E_max]  global col idx (pad: 0)
+    vals: jnp.ndarray         # float32 [S, E_max] (pad: 0)
+    dinv: jnp.ndarray         # float32 [S, rows_per]  1/max(deg, 1e-12)
+    num_nodes: int            # true n (before row padding)
+    rows_per_shard: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.rows_local.shape[0]
+
+    @staticmethod
+    def build(adj: sp.spmatrix, num_shards: int) -> "ShardedGraph":
+        adj = adj.tocsr()
+        n = adj.shape[0]
+        rows_per = -(-n // num_shards)
+        deg = np.asarray(adj.sum(1)).flatten()
+        dinv_full = (1.0 / np.maximum(deg, 1e-12)).astype(np.float32)
+        dinv_full = np.concatenate(
+            [dinv_full, np.zeros(rows_per * num_shards - n, np.float32)])
+
+        coo = adj.tocoo()
+        shard_of = coo.row // rows_per
+        per_shard = []
+        for s in range(num_shards):
+            m = shard_of == s
+            per_shard.append((coo.row[m] - s * rows_per, coo.col[m],
+                              coo.data[m].astype(np.float32)))
+        e_max = max(max(r.shape[0] for r, _, _ in per_shard), 1)
+        # round up for nicer layouts
+        e_max = -(-e_max // 128) * 128
+        rows_l = np.full((num_shards, e_max), rows_per, np.int32)
+        cols = np.zeros((num_shards, e_max), np.int32)
+        vals = np.zeros((num_shards, e_max), np.float32)
+        for s, (r, c, v) in enumerate(per_shard):
+            rows_l[s, : r.shape[0]] = r
+            cols[s, : c.shape[0]] = c
+            vals[s, : v.shape[0]] = v
+        dinv = dinv_full.reshape(num_shards, rows_per)
+        return ShardedGraph(jnp.asarray(rows_l), jnp.asarray(cols),
+                            jnp.asarray(vals), jnp.asarray(dinv), n,
+                            rows_per)
+
+
+def sharded_propagate(mesh: Mesh, g: ShardedGraph, x: np.ndarray, *,
+                      mode: str = "ppr", order: int = 10,
+                      alpha: float = 0.2, axis: str = "data") -> np.ndarray:
+    """Exact power-iteration propagation over the mesh. x: [n, F] host or
+    device array. Returns the propagated [n, F] numpy array."""
+    n, f = g.num_nodes, x.shape[1]
+    n_pad = g.rows_per_shard * g.num_shards
+    x_pad = np.zeros((n_pad, f), np.float32)
+    x_pad[:n] = np.asarray(x, np.float32)
+
+    x_sharded = jax.device_put(
+        jnp.asarray(x_pad), NamedSharding(mesh, P(axis, None)))
+    data_sharding = NamedSharding(mesh, P(axis))
+    rows_l = jax.device_put(g.rows_local, data_sharding)
+    cols = jax.device_put(g.cols, data_sharding)
+    vals = jax.device_put(g.vals, data_sharding)
+    dinv = jax.device_put(g.dinv, data_sharding)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None)),
+        out_specs=P(axis, None))
+    def prop(rows_l, cols, vals, dinv, x_local):
+        # locals arrive with a leading length-1 shard dim
+        rows_l, cols, vals, dinv = (rows_l[0], cols[0], vals[0], dinv[0])
+        rows_per = dinv.shape[0]
+
+        def apply_p(x_loc):
+            x_full = jax.lax.all_gather(
+                x_loc, axis, axis=0, tiled=True)          # [n_pad, F]
+            contrib = jnp.take(x_full, cols, axis=0) * vals[:, None]
+            acc = jnp.zeros((rows_per + 1, x_loc.shape[1]), x_loc.dtype)
+            acc = acc.at[rows_l].add(contrib, indices_are_sorted=True)
+            return dinv[:, None] * acc[:rows_per]
+
+        if mode == "ppr":
+            cur = alpha * x_local
+            acc = cur
+
+            def body(_, carry):
+                cur, acc = carry
+                cur = (1.0 - alpha) * apply_p(cur)
+                return cur, acc + cur
+
+            _, acc = jax.lax.fori_loop(0, order, body, (cur, acc))
+            out = acc
+        elif mode == "avg":
+            def body(_, carry):
+                cur, acc = carry
+                cur = apply_p(cur)
+                return cur, acc + cur
+
+            _, acc = jax.lax.fori_loop(0, order, body, (x_local, x_local))
+            out = acc / (order + 1)
+        elif mode == "single":
+            out = jax.lax.fori_loop(0, order, lambda _, v: apply_p(v),
+                                    x_local)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return out
+
+    result = prop(rows_l, cols, vals, dinv, x_sharded)
+    return np.asarray(result)[:n]

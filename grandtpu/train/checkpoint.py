@@ -1,0 +1,72 @@
+"""Checkpointing: params + BN state + optimizer state + step counter.
+
+Goes beyond the reference's best-weights-only ``torch.save``
+(``model.py:350-351``): full training state is saved so interrupted runs can
+resume (SURVEY.md §5 checkpoint/resume gap). Storage is a plain npz of the
+flattened pytree — dependency-free, portable, and fast for MLP-sized models;
+an orbax path can layer on later without changing the call sites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def save_checkpoint(path: str, *, params, state, opt_state=None,
+                    num_batch: int = 0, best_val_acc: float = 0.0,
+                    best_val_loss: float = float("inf"),
+                    extra: dict | None = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {}
+    for name, tree in (("params", params), ("state", state),
+                       ("opt", opt_state)):
+        if tree is None:
+            continue
+        flat, _ = _flatten_with_paths(tree)
+        for k, v in flat.items():
+            arrays[f"{name}|{k}"] = v
+    meta = {"num_batch": num_batch, "best_val_acc": best_val_acc,
+            "best_val_loss": best_val_loss, **(extra or {})}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str, *, params_template, state_template,
+                    opt_template=None):
+    """Restore into the shapes of the given templates. Returns
+    (params, state, opt_state, meta)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path) as d:
+        arrays = {k: d[k] for k in d.files}
+    meta = json.loads(bytes(arrays.pop("__meta__")).decode())
+
+    def restore(name, template):
+        if template is None:
+            return None
+        flat, treedef = _flatten_with_paths(template)
+        leaves = []
+        for k, ref in flat.items():
+            arr = arrays[f"{name}|{k}"]
+            assert arr.shape == ref.shape, f"{name}|{k}: shape mismatch"
+            leaves.append(jax.numpy.asarray(arr))
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template), leaves)
+
+    return (restore("params", params_template),
+            restore("state", state_template),
+            restore("opt", opt_template), meta)

@@ -1,0 +1,262 @@
+"""Sparse-feature (MAG-style) training engine.
+
+Reference ``model_mag.py:248-413``. Differences from the dense engine that
+this file preserves:
+
+- the input layer is the embedding weighted-mean over padded attr rows, run
+  INSIDE the K-augmentation loop with fresh dropout (``model_mag.py:355``);
+- random_prop output is NOT detached (``model_mag.py:356``) — gradients flow
+  into the embedding table through the propagation;
+- warmup ramp is ``min(1, nb/warmup) * lam`` (``model_mag.py:364``;
+  equivalent to the dense form for lam > 0);
+- prediction propagates in EMBEDDING space: all-node embeddings [N, H] are
+  computed once, power-iterated through the graph, then pushed through the
+  head (``model_mag.py:192-233``) — never materializing dense [N, F]
+  features (the key memory trick for 2.8M-feature MAG).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from grandtpu.config import GrandConfig
+from grandtpu.data import GraphData, load_data
+from grandtpu.data.preprocess import add_self_loops_adj
+from grandtpu.infer import exact_propagate
+from grandtpu.nn.dropnode import random_prop
+from grandtpu.nn.losses import consis_loss
+from grandtpu.nn.mag_mlp import apply_mag_head, init_mag_mlp
+from grandtpu.nn.mlp import MLPConfig
+from grandtpu.nn.sparse_input import PaddedFeatures, embed_nodes
+from grandtpu.ppr import gfpush
+from grandtpu.train.step import make_optimizer
+from grandtpu.train.trainer import TrainResult, _pad_batch
+
+
+def _build_sparse_steps(mlp_cfg: MLPConfig, cfg: GrandConfig, optimizer,
+                        n_class: int):
+    conf = cfg.resolve_conf(n_class)
+
+    def forward_k(params, state, attr_cols, attr_vals, tk_cols, tk_vals,
+                  rows, key, training):
+        cols = jnp.take(tk_cols, rows, axis=0)         # [B, Ktop]
+        vals = jnp.take(tk_vals, rows, axis=0)
+        b_attr_cols = jnp.take(attr_cols, cols, axis=0)  # [B, Ktop, P]
+        b_attr_vals = jnp.take(attr_vals, cols, axis=0)
+        keys = jax.random.split(key, cfg.sample)
+
+        def one_aug(carry_state, k):
+            k_emb, k_drop, k_head = jax.random.split(k, 3)
+            emb = embed_nodes(params["emb"], b_attr_cols, b_attr_vals,
+                              key=k_emb, droprate=cfg.input_droprate,
+                              training=training)       # [B, Ktop, H]
+            x = random_prop(emb, vals, key=k_drop,
+                            dropnode_rate=cfg.dropnode_rate,
+                            training=training)          # [B, H]; no detach
+            logits, carry_state = apply_mag_head(
+                params, carry_state, mlp_cfg, x, key=k_head,
+                training=training)
+            return carry_state, jax.nn.log_softmax(logits, axis=-1)
+
+        new_state, logps = jax.lax.scan(one_aug, state, keys)
+        return logps, new_state
+
+    def loss_fn(params, state, attr_cols, attr_vals, tk_cols, tk_vals,
+                batch, key, num_batch):
+        logps, new_state = forward_k(
+            params, state, attr_cols, attr_vals, tk_cols, tk_vals,
+            batch["rows"], key, True)
+        nt = cfg.batch_size
+        picked = jnp.take_along_axis(
+            logps[:, :nt], batch["labels"][None, :, None], axis=-1)[..., 0]
+        mask = batch["label_mask"]
+        sup = (-(picked * mask[None]).sum(-1)
+               / jnp.maximum(mask.sum(), 1.0)).mean()
+        ramp = jnp.minimum(1.0, num_batch / cfg.warmup) * cfg.lam
+        unsup = consis_loss(logps[:, nt:], cfg.tem, conf, cfg.loss)
+        return sup + ramp * unsup, new_state
+
+    @jax.jit
+    def train_step(params, state, opt_state, attr_cols, attr_vals, tk_cols,
+                   tk_vals, batch, key, num_batch):
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, attr_cols, attr_vals,
+                                   tk_cols, tk_vals, batch, key, num_batch)
+        if cfg.clip_norm > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, cfg.clip_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, state, attr_cols, attr_vals, tk_cols, tk_vals,
+                  rows, labels, mask):
+        cols = jnp.take(tk_cols, rows, axis=0)
+        vals = jnp.take(tk_vals, rows, axis=0)
+        b_attr_cols = jnp.take(attr_cols, cols, axis=0)
+        b_attr_vals = jnp.take(attr_vals, cols, axis=0)
+        emb = embed_nodes(params["emb"], b_attr_cols, b_attr_vals,
+                          training=False)
+        x = random_prop(emb, vals, training=False)
+        logits, _ = apply_mag_head(params, state, mlp_cfg, x,
+                                   training=False)
+        logps = jax.nn.log_softmax(logits, axis=-1)
+        picked = jnp.take_along_axis(logps, labels[:, None], axis=-1)[:, 0]
+        denom = jnp.maximum(mask.sum(), 1.0)
+        nll = -(picked * mask).sum() / denom
+        acc = ((jnp.argmax(logps, -1) == labels) * mask).sum() / denom
+        return nll, acc
+
+    @jax.jit
+    def embed_chunk(params, attr_cols, attr_vals):
+        return embed_nodes(params["emb"], attr_cols, attr_vals,
+                           training=False)
+
+    @jax.jit
+    def head_chunk(params, state, x):
+        logits, _ = apply_mag_head(params, state, mlp_cfg, x,
+                                   training=False)
+        return logits
+
+    return train_step, eval_step, embed_chunk, head_chunk
+
+
+def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
+                 log=None) -> TrainResult:
+    verbose = log if log is not None else (print if cfg.visible else
+                                           (lambda *a, **k: None))
+    rng = np.random.RandomState(cfg.seed2)
+    if data is None:
+        data = load_data(cfg.dataset, split_seed=cfg.seed1)
+    assert data.has_sparse_features, "use train() for dense features"
+
+    t_start = time.time()
+    adj_sl = add_self_loops_adj(data.adj)
+    idx_sample = rng.permutation(data.idx_test)[: cfg.unlabel_num]
+    idx_unlabel = np.concatenate([data.idx_val, idx_sample])
+    sources = np.concatenate([data.idx_train, idx_unlabel])
+
+    tk = gfpush(adj_sl, sources, prop_mode=cfg.prop_mode, order=cfg.order,
+                alpha=cfg.alpha, rmax=cfg.rmax, k=cfg.top_k,
+                backend=cfg.push_backend)
+    padded = PaddedFeatures.from_csr(data.features)
+    preprocess_time = time.time() - t_start
+    verbose(f"preprocessing done, time: {preprocess_time:.3f}s")
+
+    attr_cols = jnp.asarray(padded.attr_cols)
+    attr_vals = jnp.asarray(padded.attr_vals)
+    tk_cols = jnp.asarray(tk.cols)
+    tk_vals = jnp.asarray(tk.vals)
+    labels_int = data.labels_int
+    n_class = data.num_classes
+
+    mlp_cfg = MLPConfig(
+        num_features=padded.num_features, num_classes=n_class,
+        hidden=cfg.hidden, nlayers=cfg.nlayers, use_bn=cfg.use_bn,
+        node_norm=cfg.node_norm, input_droprate=cfg.input_droprate,
+        hidden_droprate=cfg.hidden_droprate)
+
+    key = jax.random.PRNGKey(cfg.seed2)
+    key, init_key = jax.random.split(key)
+    params, state = init_mag_mlp(init_key, mlp_cfg)
+    optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
+    opt_state = optimizer.init(params)
+    train_step, eval_step, embed_chunk, head_chunk = _build_sparse_steps(
+        mlp_cfg, cfg, optimizer, n_class)
+
+    val_rows = jnp.asarray(tk.row_positions(data.idx_val))
+    val_labels = jnp.asarray(labels_int[data.idx_val])
+    val_mask = jnp.ones(len(data.idx_val), jnp.float32)
+    sample_positions = tk.row_positions(idx_sample)
+    train_positions = tk.row_positions(data.idx_train)
+    train_labels_all = labels_int[data.idx_train]
+
+    best = {"acc": 0.0, "loss": np.inf, "params": params, "state": state,
+            "batch": 0}
+    bad_counter, num_batch = 0, 0
+    batch_times, history = [], []
+    stop = False
+
+    for epoch in range(cfg.epochs):
+        order_perm = rng.permutation(len(train_positions))
+        for start in range(0, len(order_perm), cfg.batch_size):
+            bt0 = time.time()
+            sel = order_perm[start: start + cfg.batch_size]
+            tr_idx, label_mask = _pad_batch(sel, cfg.batch_size)
+            un_sel = rng.permutation(len(sample_positions))[
+                : cfg.unlabel_batch_size]
+            un_idx, _ = _pad_batch(un_sel, cfg.unlabel_batch_size)
+            batch = {
+                "rows": jnp.asarray(np.concatenate([
+                    train_positions[tr_idx],
+                    sample_positions[un_idx]]).astype(np.int32)),
+                "labels": jnp.asarray(
+                    train_labels_all[tr_idx].astype(np.int32)),
+                "label_mask": jnp.asarray(label_mask),
+            }
+            key, step_key = jax.random.split(key)
+            params, state, opt_state, loss = train_step(
+                params, state, opt_state, attr_cols, attr_vals, tk_cols,
+                tk_vals, batch, step_key, jnp.float32(num_batch))
+            batch_times.append(time.time() - bt0)
+
+            if num_batch % cfg.eval_batch == 0:
+                val_loss, val_acc = eval_step(
+                    params, state, attr_cols, attr_vals, tk_cols, tk_vals,
+                    val_rows, val_labels, val_mask)
+                val_loss, val_acc = float(val_loss), float(val_acc)
+                history.append({"batch": num_batch, "val_loss": val_loss,
+                                "val_acc": val_acc, "loss": float(loss)})
+                verbose(f"epoch {epoch}, batch {num_batch}, "
+                        f"val loss {val_loss:.4f}, val acc {val_acc:.4f}")
+                if val_acc >= best["acc"]:
+                    if cfg.stop_mode == "acc" or (
+                            cfg.stop_mode == "both"
+                            and val_loss <= best["loss"]):
+                        best.update(acc=val_acc, loss=val_loss,
+                                    params=params, state=state,
+                                    batch=num_batch)
+                        bad_counter = 0
+                else:
+                    bad_counter += 1
+                if bad_counter >= cfg.patience:
+                    verbose(f"Early stop at batch {num_batch}")
+                    stop = True
+                    break
+            num_batch += 1
+        if stop:
+            break
+
+    # predict: all-node embeddings -> propagate in embedding space -> head
+    bp, bs = best["params"], best["state"]
+    n = data.num_nodes
+    chunk = 10000
+    embs = np.empty((n, bp["emb"]["table"].shape[1]), np.float32)
+    for i in range(0, n, chunk):
+        embs[i: i + chunk] = np.asarray(embed_chunk(
+            bp, attr_cols[i: i + chunk], attr_vals[i: i + chunk]))
+    prop = exact_propagate(adj_sl, embs, mode=cfg.prop_mode,
+                           order=cfg.order, alpha=cfg.alpha)
+    preds = np.empty(n, np.int64)
+    for i in range(0, n, chunk):
+        logits = np.asarray(head_chunk(bp, bs, prop[i: i + chunk]))
+        preds[i: i + chunk] = logits.argmax(1)
+    test_acc = float(np.equal(preds[data.idx_test],
+                              labels_int[data.idx_test]).mean())
+    total_time = time.time() - t_start
+    verbose(f"Test Accuracy {test_acc:.4f}")
+    return TrainResult(
+        test_acc=test_acc, best_val_acc=best["acc"],
+        best_val_loss=best["loss"], num_batches=num_batch,
+        total_time=total_time,
+        batch_time_avg=float(np.mean(batch_times)) if batch_times else 0.0,
+        preprocess_time=preprocess_time,
+        params=bp, state=bs, history=history)

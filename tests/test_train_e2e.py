@@ -1,0 +1,109 @@
+"""End-to-end training tests: both engines learn; inference parity with a
+numpy power-iteration oracle; checkpoint round trip."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from grandtpu.config import GrandConfig
+from grandtpu.infer import exact_propagate
+from grandtpu.train import train
+from grandtpu.train.trainer_sparse import train_sparse
+
+
+def _fast_cfg(**kw):
+    base = dict(dataset="synth:240:3:16", epochs=30, patience=15,
+                order=4, alpha=0.2, rmax=1e-6, top_k=16, hidden=32,
+                batch_size=32, unlabel_batch_size=48, warmup=30.0,
+                lam=1.0, eval_batch=5, push_backend="numpy")
+    base.update(kw)
+    return GrandConfig(**base)
+
+
+def test_dense_engine_learns():
+    r = train(_fast_cfg())
+    assert r.test_acc > 0.8
+    assert r.num_batches > 10
+    assert r.batch_time_avg > 0
+
+
+def test_dense_engine_bn_nodenorm_clip():
+    r = train(_fast_cfg(use_bn=True, node_norm=True, clip_norm=0.1,
+                        nlayers=3, loss="kl", stop_mode="acc"))
+    assert r.test_acc > 0.7
+
+
+def test_sparse_engine_learns():
+    r = train_sparse(_fast_cfg(dataset="synth:240:3:64:sparse",
+                               sparse_features=True, nlayers=2,
+                               input_droprate=0.2, hidden_droprate=0.2,
+                               weight_decay=1e-4))
+    assert r.test_acc > 0.7
+
+
+def test_one_layer_mlp_variant():
+    r = train(_fast_cfg(nlayers=1, use_bn=True))
+    assert r.test_acc > 0.6
+
+
+@pytest.mark.parametrize("mode", ["ppr", "avg", "single"])
+def test_exact_propagate_matches_numpy(mode, small_graph):
+    """Device power iteration vs the reference numpy formulas
+    (model.py:186-210) re-run here with scipy."""
+    adj, feats, _ = small_graph
+    order, alpha = 5, 0.3
+    x = np.asarray(feats, np.float64)
+    deg = np.asarray(adj.sum(1)).flatten()
+    if mode == "ppr":
+        cur = alpha * x
+        acc = cur.copy()
+        dia = (1 - alpha) / np.maximum(deg, 1e-12)
+        for _ in range(order):
+            cur = dia[:, None] * adj.dot(cur)
+            acc += cur
+        want = acc
+    elif mode == "avg":
+        cur, acc = x.copy(), x.copy()
+        dinv = 1 / np.maximum(deg, 1e-12)
+        for _ in range(order):
+            cur = dinv[:, None] * adj.dot(cur)
+            acc += cur
+        want = acc / (order + 1)
+    else:
+        cur = x.copy()
+        dinv = 1 / np.maximum(deg, 1e-12)
+        for _ in range(order):
+            cur = dinv[:, None] * adj.dot(cur)
+        want = cur
+
+    got = exact_propagate(adj, feats, mode=mode, order=order, alpha=alpha)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+    # sparse path (padded-edge segment sum) agrees with the dense path
+    got_sparse = exact_propagate(adj, feats, mode=mode, order=order,
+                                 alpha=alpha, dense_threshold=0)
+    np.testing.assert_allclose(np.asarray(got_sparse), want, atol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from grandtpu.nn.mlp import MLPConfig, init_mlp
+    from grandtpu.train.step import make_optimizer
+    from grandtpu.train.checkpoint import save_checkpoint, load_checkpoint
+
+    cfg = MLPConfig(num_features=8, num_classes=3, hidden=4, nlayers=2,
+                    use_bn=True)
+    params, state = init_mlp(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3, 1e-4)
+    opt_state = opt.init(params)
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, params=params, state=state, opt_state=opt_state,
+                    num_batch=17, best_val_acc=0.9)
+    p2, s2, o2, meta = load_checkpoint(
+        p, params_template=params, state_template=state, opt_template=opt_state)
+    assert meta["num_batch"] == 17 and meta["best_val_acc"] == 0.9
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
