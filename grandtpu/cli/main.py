@@ -104,7 +104,12 @@ def cli(argv=None) -> int:
     p_pre = sub.add_parser("presets", help="list per-dataset presets")
     p_pre.set_defaults(fn=cmd_presets)
     args = parser.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (NotImplementedError, FileNotFoundError, KeyError,
+            ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

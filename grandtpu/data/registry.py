@@ -101,6 +101,17 @@ def load_data(dataset_str: str = "cora", split_seed: int = 0,
         return _load_synthetic(dataset_str, split_seed)
 
     path = _resolve_dir(dataset_str)
+    try:
+        return _load_from_disk(dataset_str, path, split_seed, renormalize)
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"{e} — dataset {dataset_str!r} files were not found; download "
+            f"them (grandtpu.data.download) and point $GRANDTPU_DATA_DIR at "
+            f"the directory, or use a 'synth:<n>:<c>:<f>' spec") from None
+
+
+def _load_from_disk(dataset_str: str, path: str, split_seed: int,
+                    renormalize: bool) -> GraphData:
 
     if dataset_str in PLANETOID:
         adj, feats, labels, itr, iva, ite, iun = load_planetoid(

@@ -6,5 +6,6 @@ power iteration and classifies every node. Keep this asymmetry — do not
 unify with the top-k path (SURVEY.md §7.3 item 5).
 """
 
-from grandtpu.infer.propagate import exact_propagate  # noqa: F401
+from grandtpu.infer.propagate import (  # noqa: F401
+    Propagator, exact_propagate)
 from grandtpu.infer.classify import predict_logits, test_accuracy  # noqa: F401

