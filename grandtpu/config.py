@@ -76,6 +76,14 @@ class GrandConfig:
     num_devices: int = 1           # data-parallel replication of the step
     mesh_axis: str = "data"
 
+    # checkpointing / observability (beyond the reference's best-weights
+    # torch.save; SURVEY.md §5)
+    ckpt_dir: Optional[str] = None   # save best + periodic full state here
+    resume: bool = False             # resume from ckpt_dir/latest.npz
+    save_every: int = 0              # full-state ckpt every N evals (0=off)
+    metrics_path: Optional[str] = None  # JSONL metrics stream
+    profile_dir: Optional[str] = None   # jax.profiler trace output
+
     @property
     def conf(self) -> float:
         """Confidence threshold injected at runtime in the reference

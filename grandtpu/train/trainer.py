@@ -28,7 +28,9 @@ from grandtpu.data import GraphData, load_data
 from grandtpu.data.preprocess import add_self_loops_adj
 from grandtpu.infer import exact_propagate, test_accuracy
 from grandtpu.nn.mlp import MLPConfig, init_mlp
+from grandtpu.observe import MetricsLogger, StepTimer, profile_trace
 from grandtpu.ppr import gfpush
+from grandtpu.train.checkpoint import load_checkpoint, save_checkpoint
 from grandtpu.train.step import (StepConfig, build_eval_step,
                                  build_train_step, make_optimizer)
 
@@ -125,6 +127,24 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
     history = []
     stop = False
 
+    metrics_log = MetricsLogger(cfg.metrics_path)
+    timer = StepTimer(edges_per_step=(cfg.batch_size
+                                      + cfg.unlabel_batch_size) * tk.k
+                      * cfg.sample)
+    if cfg.resume and cfg.ckpt_dir:
+        latest = f"{cfg.ckpt_dir}/latest.npz"
+        try:
+            params, state, opt_state, meta = load_checkpoint(
+                latest, params_template=params, state_template=state,
+                opt_template=opt_state)
+            num_batch = int(meta["num_batch"])
+            best["acc"] = float(meta["best_val_acc"])
+            best["loss"] = float(meta["best_val_loss"])
+            best["params"], best["state"] = params, state
+            verbose(f"resumed from {latest} at batch {num_batch}")
+        except FileNotFoundError:
+            verbose(f"no checkpoint at {latest}; starting fresh")
+
     for epoch in range(cfg.epochs):
         order_perm = rng.permutation(len(train_positions))
         for start in range(0, len(order_perm), cfg.batch_size):
@@ -145,9 +165,10 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
                 "label_mask": jnp.asarray(label_mask),
             }
             key, step_key = jax.random.split(key)
-            params, state, opt_state, metrics = train_step(
-                params, state, opt_state, features, tk_cols, tk_vals,
-                batch, step_key, jnp.float32(num_batch))
+            with timer:
+                params, state, opt_state, metrics = train_step(
+                    params, state, opt_state, features, tk_cols, tk_vals,
+                    batch, step_key, jnp.float32(num_batch))
             batch_times.append(time.time() - bt0)
 
             if num_batch % cfg.eval_batch == 0:
@@ -158,9 +179,14 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
                 history.append({"batch": num_batch, "val_loss": val_loss,
                                 "val_acc": val_acc,
                                 "loss": float(metrics["loss"])})
+                metrics_log.log(batch=num_batch, epoch=epoch,
+                                val_loss=val_loss, val_acc=val_acc,
+                                train_loss=float(metrics["loss"]),
+                                batch_time_s=batch_times[-1])
                 verbose(f"epoch {epoch}, batch {num_batch}, "
                         f"validation loss {val_loss:.4f}, "
                         f"validation acc {val_acc:.4f}")
+                improved = False
                 if val_acc >= best["acc"]:
                     if cfg.stop_mode == "acc" or (
                             cfg.stop_mode == "both"
@@ -169,8 +195,24 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
                                     params=params, state=state,
                                     batch=num_batch, epoch=epoch)
                         bad_counter = 0
+                        improved = True
                 else:
                     bad_counter += 1
+                if cfg.ckpt_dir:
+                    if improved:
+                        save_checkpoint(
+                            f"{cfg.ckpt_dir}/best.npz", params=params,
+                            state=state, num_batch=num_batch,
+                            best_val_acc=best["acc"],
+                            best_val_loss=best["loss"])
+                    n_evals = num_batch // cfg.eval_batch
+                    if cfg.save_every and n_evals % cfg.save_every == 0:
+                        save_checkpoint(
+                            f"{cfg.ckpt_dir}/latest.npz", params=params,
+                            state=state, opt_state=opt_state,
+                            num_batch=num_batch,
+                            best_val_acc=best["acc"],
+                            best_val_loss=best["loss"])
                 if bad_counter >= cfg.patience:
                     verbose(f"Early stop! Min loss: {best['loss']:.4f}, "
                             f"Max accuracy: {best['acc']:.4f}, "
@@ -180,16 +222,21 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
             num_batch += 1
         if stop:
             break
+    metrics_log.log(event="train_end", num_batch=num_batch,
+                    best_val_acc=best["acc"],
+                    **timer.summary())
+    metrics_log.close()
 
     verbose(f"Optimization finished. Best val acc {best['acc']:.4f} "
             f"at batch {best['batch']}")
 
     # exact full-graph propagation test with the best weights
-    prop = exact_propagate(adj_sl, np.asarray(data.features),
-                           mode=cfg.prop_mode, order=cfg.order,
-                           alpha=cfg.alpha)
-    test_acc = test_accuracy(best["params"], best["state"], mlp_cfg, prop,
-                             data.idx_test, labels_int)
+    with profile_trace(cfg.profile_dir):
+        prop = exact_propagate(adj_sl, np.asarray(data.features),
+                               mode=cfg.prop_mode, order=cfg.order,
+                               alpha=cfg.alpha)
+        test_acc = test_accuracy(best["params"], best["state"], mlp_cfg,
+                                 prop, data.idx_test, labels_int)
     total_time = time.time() - t_start
     verbose(f"Total time elapsed: {total_time:.4f}s")
     verbose(f"Test Accuracy {test_acc:.4f}")
