@@ -71,6 +71,7 @@ class GrandConfig:
     # at run_model.py:87-90)
     sparse_features: bool = False  # MAG-style embedding input path
     push_backend: str = "auto"     # 'auto' | 'native' | 'jax' | 'numpy'
+    pallas_dropnode: bool = False  # fused Pallas DropNode kernel (TPU only)
 
     # distribution (no reference equivalent; reference is single-process)
     num_devices: int = 1           # data-parallel replication of the step

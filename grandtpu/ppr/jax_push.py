@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from grandtpu.sparse.spmm import PaddedCSR, spmm_segment
+from grandtpu.sparse.spmm import BlockCSR, spmm_block
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_hops", "use_dense"))
@@ -55,18 +55,13 @@ def _push_block(adj_op, deg, dangling, sources, coef, rmax, *, k: int,
             residue = jnp.dot(pushed, adj_op,
                               preferred_element_type=jnp.float32)
         else:
-            residue = spmm_segment(adj_op, pushed.T).T
+            # pushed @ A == (A^T @ pushed^T)^T with the blocked SpMM over
+            # A^T; f32 path for prune-threshold fidelity
+            residue = spmm_block(adj_op, pushed.T, fast=False).T
         residue = residue.at[jnp.arange(b), sources].add(teleport)
         return residue, reserve
 
-    if use_dense:
-        residue, reserve = jax.lax.fori_loop(
-            0, n_hops, hop, (residue, reserve))
-    else:
-        # PaddedCSR inside fori_loop carry is fine (pytree), but hop count is
-        # static anyway — unrolled keeps XLA free to pipeline.
-        for i in range(n_hops):
-            residue, reserve = hop(i, (residue, reserve))
+    residue, reserve = jax.lax.fori_loop(0, n_hops, hop, (residue, reserve))
     reserve = reserve + coef[n_hops] * residue
 
     vals, cols = jax.lax.top_k(reserve, k)
@@ -95,7 +90,7 @@ def gfpush_jax(indptr: np.ndarray, indices: np.ndarray, sources: np.ndarray,
         a_t = sp.csr_matrix(
             (np.ones(indices.shape[0], np.float32), indices, indptr),
             shape=(n, n)).T.tocsr()
-        adj_op = PaddedCSR.from_scipy(a_t)
+        adj_op = BlockCSR.from_scipy(a_t)
 
     coef_j = jnp.asarray(coef, jnp.float32)
     n_hops = int(coef.shape[0]) - 1

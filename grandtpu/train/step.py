@@ -41,6 +41,7 @@ class StepConfig:
     conf: float
     loss_kind: str              # 'l2' | 'kl'
     clip_norm: float            # <=0 disables
+    pallas_dropnode: bool = False  # fused in-kernel-PRNG DropNode (TPU)
 
 
 def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
@@ -61,11 +62,22 @@ def _forward_k(params, state, cfg: StepConfig, features, cols, vals, key,
     Returns (log_probs [K, B, C], new_state)."""
     keys = jax.random.split(key, cfg.k_aug)
     feats = jnp.take(features, cols, axis=0)              # [B, Ktop, F]
+    b = feats.shape[0]
+    tile_b = next(t for t in (8, 4, 2, 1) if b % t == 0)
 
     def one_aug(carry_state, k):
         k_drop, k_mlp = jax.random.split(k)
-        x = random_prop(feats, vals, key=k_drop,
-                        dropnode_rate=cfg.dropnode_rate, training=training)
+        if cfg.pallas_dropnode and training and cfg.dropnode_rate > 0:
+            from grandtpu.ops import dropnode_aggregate
+            seed = jax.random.randint(k_drop, (), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+            x = dropnode_aggregate(feats, vals, seed,
+                                   dropnode_rate=cfg.dropnode_rate,
+                                   tile_b=tile_b)
+        else:
+            x = random_prop(feats, vals, key=k_drop,
+                            dropnode_rate=cfg.dropnode_rate,
+                            training=training)
         x = jax.lax.stop_gradient(x)   # reference detaches the augmentation
         logits, carry_state = apply_mlp(params, carry_state, cfg.mlp, x,
                                         key=k_mlp, training=training)
