@@ -173,17 +173,37 @@ PRESETS: dict[str, GrandConfig] = {
 }
 
 
+# avg/single variant overrides, transcribed from the same launch scripts
+# (each dict entry replaces fields of the ppr-mode preset row)
+VARIANTS: dict[tuple[str, str], dict] = {
+    ("cora", "avg"): dict(order=4),
+    ("cora", "single"): dict(order=2),
+    ("citeseer", "avg"): dict(order=2),
+    ("citeseer", "single"): dict(order=2),
+    ("pubmed", "avg"): dict(order=4, warmup=1000.0),
+    ("pubmed", "single"): dict(order=2, warmup=1000.0),
+    ("aminer", "avg"): dict(order=4),
+    ("aminer", "single"): dict(order=2),
+    ("reddit", "avg"): dict(order=6),
+    ("reddit", "single"): dict(order=2, rmax=1e-7),
+    ("Amazon2M", "avg"): dict(order=4),
+    ("Amazon2M", "single"): dict(order=2, top_k=32),
+    ("mag_scholar_c", "avg"): dict(order=10),
+    ("mag_scholar_c", "single"): dict(order=2),
+}
+
+
 def preset(dataset: str, prop_mode: str = "ppr",
            order: Optional[int] = None) -> GrandConfig:
-    """Look up the preset for ``dataset`` and specialize the prop mode.
-
-    The reference's avg/single script variants differ from the ppr row mainly
-    in dropping alpha and (sometimes) order; we keep order unless overridden.
-    """
+    """Look up the preset for ``dataset`` and specialize the prop mode
+    (avg/single variants apply the reference scripts' overrides)."""
     if dataset not in PRESETS:
         raise KeyError(
             f"no preset for dataset {dataset!r}; known: {sorted(PRESETS)}")
     cfg = PRESETS[dataset].replace(prop_mode=prop_mode)
+    overrides = VARIANTS.get((dataset, prop_mode))
+    if overrides:
+        cfg = cfg.replace(**overrides)
     if order is not None:
         cfg = cfg.replace(order=order)
     return cfg

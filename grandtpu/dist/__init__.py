@@ -12,3 +12,4 @@ from grandtpu.dist.data_parallel import shard_train_inputs  # noqa: F401
 from grandtpu.dist.spmm_shard import (  # noqa: F401
     ShardedGraph, sharded_propagate,
 )
+from grandtpu.dist.push import sharded_gfpush  # noqa: F401

@@ -40,7 +40,9 @@ def _push_block(adj_op, deg, dangling, sources, coef, rmax, *, k: int,
     n = deg.shape[0]
     residue = jnp.zeros((b, n), jnp.float32).at[
         jnp.arange(b), sources].set(1.0)
-    reserve = jnp.zeros((b, n), jnp.float32)
+    # derive from residue so the varying-manual-axis type matches inside
+    # shard_map (a plain zeros literal is unvarying and breaks the scan)
+    reserve = residue * 0.0
     threshold = rmax * deg          # [n]; dangling nodes get threshold 0
     safe_deg = jnp.where(dangling, 1.0, deg)
 

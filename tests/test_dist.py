@@ -103,3 +103,26 @@ def test_gspmd_sharded_train_step(graph_feats):
                                    err_msg=f"metric {k} diverged")
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sharded_push_matches_single(graph_feats):
+    """Source-sharded GFPush over the mesh == single-device jax push."""
+    from grandtpu.dist.push import sharded_gfpush
+    from grandtpu.ppr import build_coef
+    from grandtpu.ppr.jax_push import gfpush_jax
+
+    adj, _, _ = graph_feats
+    coef = build_coef("ppr", order=5, alpha=0.3)
+    sources = np.arange(0, 200, 2)  # 100 sources over 8 devices (padded)
+    mesh = make_mesh(n_data=8, n_model=1)
+    sc, sv = sharded_gfpush(mesh, adj.indptr, adj.indices, sources, coef,
+                            1e-4, 8)
+    jc, jv = gfpush_jax(adj.indptr, adj.indices, sources, coef, 1e-4, 8)
+    np.testing.assert_allclose(sv, jv, atol=1e-5)
+    # columns may differ only at value ties; compare via (col,val) maps
+    for a_c, a_v, b_c, b_v in zip(sc, sv, jc, jv):
+        da = {c: v for c, v in zip(a_c, a_v) if v > 0}
+        db = {c: v for c, v in zip(b_c, b_v) if v > 0}
+        for c, v in da.items():
+            if c in db:
+                np.testing.assert_allclose(v, db[c], atol=1e-5)
