@@ -22,7 +22,7 @@ def synthetic_graph(num_nodes: int = 400,
                     p_in_over_p_out: float = 8.0,
                     feature_noise: float = 0.6,
                     sparse_features: bool = False,
-                    feature_density: float = 0.2,
+                    feature_nnz: int = 24,
                     seed: int = 0):
     """Return (adj csr, features, labels_onehot) for an SBM graph.
 
@@ -52,17 +52,28 @@ def synthetic_graph(num_nodes: int = 400,
     adj.data[:] = 1.0
     adj = adj.maximum(adj.T).tocsr()
 
-    # --- features: class prototype + noise
-    proto = rng.randn(num_classes, num_features).astype(np.float32)
-    feats = proto[labels] + feature_noise * rng.randn(
-        num_nodes, num_features).astype(np.float32)
-    if sparse_features:
-        # class-dependent support pattern: each class activates a subset of
-        # feature columns; values binary (bag-of-words style)
-        mask = rng.rand(num_nodes, num_features) < feature_density
-        class_cols = rng.rand(num_classes, num_features) < 0.5
-        mask &= class_cols[labels]
-        feats = sp.csr_matrix(mask.astype(np.float32))
+    if not sparse_features:
+        # --- features: class prototype + noise (dense)
+        proto = rng.randn(num_classes, num_features).astype(np.float32)
+        feats = proto[labels] + feature_noise * rng.randn(
+            num_nodes, num_features).astype(np.float32)
+    else:
+        # bag-of-words CSR built directly in sparse form (scales to MAG-size
+        # vocabularies): each class owns a band of the vocabulary; 80% of a
+        # node's tokens come from its band, the rest uniform
+        nnz_per = max(min(feature_nnz, num_features), 1)
+        band = max(num_features // num_classes, 1)
+        in_band = rng.randint(0, band, size=(num_nodes, nnz_per)) \
+            + labels[:, None] * band
+        uniform = rng.randint(0, num_features, size=(num_nodes, nnz_per))
+        cols = np.where(rng.rand(num_nodes, nnz_per) < 0.2, uniform,
+                        np.minimum(in_band, num_features - 1))
+        rows = np.repeat(np.arange(num_nodes), nnz_per)
+        feats = sp.coo_matrix(
+            (np.ones(rows.shape[0], np.float32), (rows, cols.ravel())),
+            shape=(num_nodes, num_features)).tocsr()
+        feats.sum_duplicates()
+        feats.data[:] = 1.0
     onehot = np.zeros((num_nodes, num_classes), dtype=np.float32)
     onehot[np.arange(num_nodes), labels] = 1.0
     return adj, feats, onehot

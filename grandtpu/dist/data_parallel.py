@@ -28,6 +28,17 @@ def _put(tree, mesh, spec):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def _pad_rows(x, multiple: int):
+    """Pad dim 0 to a multiple with zeros (padded rows are never gathered:
+    row positions only point at real entries)."""
+    import jax.numpy as jnp
+    pad = (-x.shape[0]) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths)
+
+
 def shard_train_inputs(mesh: Mesh, *, params, state, opt_state, features,
                        tk_cols, tk_vals, shard_features: bool = True,
                        tensor_parallel: bool = False):
@@ -39,10 +50,15 @@ def shard_train_inputs(mesh: Mesh, *, params, state, opt_state, features,
         params = _put(params, mesh, repl)
     state = _put(state, mesh, repl)
     opt_state = _put(opt_state, mesh, repl)
+    n_data = mesh.shape["data"]
     feat_spec = P("data", None) if shard_features else repl
+    if shard_features:
+        features = _pad_rows(features, n_data)
     features = jax.device_put(features, NamedSharding(mesh, feat_spec))
-    tk_cols = jax.device_put(tk_cols, NamedSharding(mesh, P("data", None)))
-    tk_vals = jax.device_put(tk_vals, NamedSharding(mesh, P("data", None)))
+    tk_cols = jax.device_put(_pad_rows(tk_cols, n_data),
+                             NamedSharding(mesh, P("data", None)))
+    tk_vals = jax.device_put(_pad_rows(tk_vals, n_data),
+                             NamedSharding(mesh, P("data", None)))
     return params, state, opt_state, features, tk_cols, tk_vals
 
 

@@ -33,22 +33,42 @@ class PaddedFeatures:
     @staticmethod
     def from_csr(feats: sp.csr_matrix, cap: int | None = None
                  ) -> "PaddedFeatures":
+        """Vectorized padded-row build (no per-row Python loop — MAG has
+        10M+ rows). With `cap`, rows keep their `cap` largest-|value|
+        entries."""
         feats = feats.tocsr()
         n = feats.shape[0]
-        nnz = np.diff(feats.indptr)
-        p = int(nnz.max()) if cap is None else min(int(nnz.max()), cap)
-        p = max(p, 1)
-        cols = np.zeros((n, p), dtype=np.int32)
-        vals = np.zeros((n, p), dtype=np.float32)
-        for i in range(n):
-            row = feats.indices[feats.indptr[i]: feats.indptr[i + 1]]
-            dat = feats.data[feats.indptr[i]: feats.indptr[i + 1]]
-            if row.shape[0] > p:       # keep the largest-|value| entries
-                top = np.argpartition(-np.abs(dat), p - 1)[:p]
-                row, dat = row[top], dat[top]
-            cols[i, : row.shape[0]] = row
-            vals[i, : dat.shape[0]] = dat
-        return PaddedFeatures(cols, vals, feats.shape[1])
+        indptr = feats.indptr.astype(np.int64)
+        nnz = np.diff(indptr)
+        p_full = max(int(nnz.max()) if n else 1, 1)
+        p = p_full if cap is None else max(min(p_full, int(cap)), 1)
+
+        indices, data = feats.indices, feats.data
+        if p < p_full:
+            # rank entries within each row by |value| descending and keep
+            # the first p: stable sort on (row, -|v|)
+            rows_of = np.repeat(np.arange(n, dtype=np.int64), nnz)
+            order = np.lexsort((-np.abs(data), rows_of))
+            indices, data, rows_of = (indices[order], data[order],
+                                      rows_of[order])
+            slot = np.arange(indices.shape[0]) - np.repeat(indptr[:-1], nnz)
+            keep = slot < p
+            indices, data, rows_of = (indices[keep], data[keep],
+                                      rows_of[keep])
+            new_nnz = np.minimum(nnz, p)
+            new_indptr = np.zeros(n + 1, np.int64)
+            np.cumsum(new_nnz, out=new_indptr[1:])
+            indptr, nnz = new_indptr, new_nnz
+
+        slot = np.arange(indices.shape[0]) - np.repeat(indptr[:-1], nnz)
+        rows_of = np.repeat(np.arange(n, dtype=np.int64), nnz)
+        flat = rows_of * p + slot
+        cols = np.zeros(n * p, dtype=np.int32)
+        vals = np.zeros(n * p, dtype=np.float32)
+        cols[flat] = indices
+        vals[flat] = data
+        return PaddedFeatures(cols.reshape(n, p), vals.reshape(n, p),
+                              feats.shape[1])
 
 
 def init_embedding(key, num_features: int, dim: int):

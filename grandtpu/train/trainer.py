@@ -109,6 +109,22 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
     train_step = build_train_step(step_cfg, optimizer)
     eval_step = build_eval_step(step_cfg)
 
+    # multi-device placement: GSPMD shardings seed the whole step (dp over
+    # batch rows + row-sharded tables); XLA inserts the collectives
+    mesh = None
+    if cfg.num_devices > 1:
+        if len(jax.devices()) < cfg.num_devices:
+            raise RuntimeError(
+                f"num_devices={cfg.num_devices} but only "
+                f"{len(jax.devices())} devices visible")
+        from grandtpu.dist import make_mesh
+        from grandtpu.dist.data_parallel import shard_train_inputs
+        mesh = make_mesh(n_data=cfg.num_devices, n_model=1)
+        (params, state, opt_state, features, tk_cols,
+         tk_vals) = shard_train_inputs(
+            mesh, params=params, state=state, opt_state=opt_state,
+            features=features, tk_cols=tk_cols, tk_vals=tk_vals)
+
     # validation rows: whole val set in one eval call (BN is in eval mode,
     # so reference's batching of valid() has no numeric effect)
     val_rows = jnp.asarray(tk.row_positions(data.idx_val))
@@ -164,6 +180,9 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
                     train_labels_all[tr_idx].astype(np.int32)),
                 "label_mask": jnp.asarray(label_mask),
             }
+            if mesh is not None:
+                from grandtpu.dist.data_parallel import shard_batch
+                batch = shard_batch(mesh, batch)
             key, step_key = jax.random.split(key)
             with timer:
                 params, state, opt_state, metrics = train_step(

@@ -126,3 +126,17 @@ def test_sharded_push_matches_single(graph_feats):
         for c, v in da.items():
             if c in db:
                 np.testing.assert_allclose(v, db[c], atol=1e-5)
+
+
+def test_trainer_num_devices():
+    """Full trainer with num_devices=8: runs sharded end to end and learns.
+    Batch sizes must divide the device count."""
+    from grandtpu.config import GrandConfig
+    from grandtpu.train import train
+
+    cfg = GrandConfig(dataset="synth:240:3:16", epochs=20, patience=15,
+                      order=4, alpha=0.2, rmax=1e-6, top_k=16, hidden=32,
+                      batch_size=32, unlabel_batch_size=32, warmup=20.0,
+                      eval_batch=5, push_backend="numpy", num_devices=8)
+    r = train(cfg)
+    assert r.test_acc > 0.7
