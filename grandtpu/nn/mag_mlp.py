@@ -11,7 +11,7 @@ relu comes FIRST in the head loop (the embedding output is pre-activation).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 
 from grandtpu.nn.mlp import (MLPConfig, _batchnorm, _dropout, _linear_init,
                              _bn_init, _node_normalize)

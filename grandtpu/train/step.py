@@ -16,8 +16,7 @@ batches are padded with duplicated rows and masked out of the NLL.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
