@@ -85,6 +85,64 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Offline serving: load a checkpoint, classify every node with exact
+    full-graph propagation, write logits+predictions to an npz (no reference
+    equivalent — the reference can only predict inside a training run)."""
+    import numpy as np
+
+    import jax
+
+    from grandtpu.data import load_data
+    from grandtpu.data.preprocess import add_self_loops_adj
+    from grandtpu.infer import exact_propagate
+    from grandtpu.infer.classify import (predict_logits,
+                                         predict_logits_sparse)
+    from grandtpu.nn.mag_mlp import init_mag_mlp
+    from grandtpu.nn.mlp import MLPConfig, init_mlp
+    from grandtpu.nn.sparse_input import PaddedFeatures
+    from grandtpu.train.checkpoint import load_checkpoint
+
+    cfg = _build_config(args)
+    data = load_data(cfg.dataset, split_seed=cfg.seed1)
+    adj_sl = add_self_loops_adj(data.adj)
+    sparse = cfg.sparse_features or data.has_sparse_features
+    num_features = (data.features.shape[1] if not sparse
+                    else data.features.shape[1])
+    mlp_cfg = MLPConfig(
+        num_features=num_features, num_classes=data.num_classes,
+        hidden=cfg.hidden, nlayers=cfg.nlayers, use_bn=cfg.use_bn,
+        node_norm=cfg.node_norm, input_droprate=cfg.input_droprate,
+        hidden_droprate=cfg.hidden_droprate)
+    init = init_mag_mlp if sparse else init_mlp
+    tmpl_params, tmpl_state = init(jax.random.PRNGKey(0), mlp_cfg)
+    params, state, _, meta = load_checkpoint(
+        args.ckpt, params_template=tmpl_params, state_template=tmpl_state)
+
+    if sparse:
+        import jax.numpy as jnp
+        padded = PaddedFeatures.from_csr(data.features)
+        logits = predict_logits_sparse(
+            params, state, mlp_cfg, jnp.asarray(padded.attr_cols),
+            jnp.asarray(padded.attr_vals), adj_sl, mode=cfg.prop_mode,
+            order=cfg.order, alpha=cfg.alpha)
+    else:
+        prop = exact_propagate(adj_sl, np.asarray(data.features),
+                               mode=cfg.prop_mode, order=cfg.order,
+                               alpha=cfg.alpha)
+        logits = predict_logits(params, state, mlp_cfg, prop)
+    preds = logits.argmax(1)
+    acc = float(np.equal(preds[data.idx_test],
+                         data.labels_int[data.idx_test]).mean())
+    out = args.output or f"predictions_{cfg.dataset.replace(':', '_')}.npz"
+    np.savez(out, logits=logits, predictions=preds,
+             idx_test=data.idx_test)
+    print(json.dumps({"dataset": cfg.dataset, "output": out,
+                      "test_acc": acc,
+                      "ckpt_val_acc": meta.get("best_val_acc")}))
+    return 0
+
+
 def cmd_presets(_args) -> int:
     for name, cfg in PRESETS.items():
         d = dataclasses.asdict(cfg)
@@ -103,6 +161,14 @@ def cli(argv=None) -> int:
     p_run.set_defaults(fn=cmd_run)
     p_pre = sub.add_parser("presets", help="list per-dataset presets")
     p_pre.set_defaults(fn=cmd_presets)
+    p_pred = sub.add_parser(
+        "predict", help="classify all nodes from a checkpoint")
+    _add_config_flags(p_pred)
+    p_pred.add_argument("--ckpt", required=True,
+                        help="checkpoint npz (best.npz from --ckpt-dir)")
+    p_pred.add_argument("--output", default=None,
+                        help="output npz path")
+    p_pred.set_defaults(fn=cmd_predict)
     args = parser.parse_args(argv)
     try:
         return args.fn(args)

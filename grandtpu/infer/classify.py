@@ -45,3 +45,43 @@ def test_accuracy(params, state, cfg: MLPConfig, propagated_feats,
     preds = logits.argmax(axis=1)
     correct = np.equal(preds[idx_test], labels_int[idx_test]).sum()
     return float(correct) / len(idx_test)
+
+
+def predict_logits_sparse(params, state, cfg: MLPConfig, attr_cols,
+                          attr_vals, adj_sl, *, mode: str = "ppr",
+                          order: int = 10, alpha: float = 0.2,
+                          batch_size: int = 10000) -> np.ndarray:
+    """Full-graph logits for the sparse-feature (MAG) model: all-node
+    embeddings in chunks -> exact propagation in EMBEDDING space -> head
+    (reference ``model_mag.py:192-245``; the memory trick that avoids a
+    dense [n, vocab] matrix)."""
+    import functools as _ft
+
+    import jax as _jax
+
+    from grandtpu.infer.propagate import exact_propagate
+    from grandtpu.nn.mag_mlp import apply_mag_head
+    from grandtpu.nn.sparse_input import embed_nodes
+
+    @_ft.partial(_jax.jit)
+    def embed_chunk(params, ac, av):
+        return embed_nodes(params["emb"], ac, av, training=False)
+
+    @_ft.partial(_jax.jit, static_argnames=("cfg",))
+    def head_chunk(params, state, cfg, x):
+        logits, _ = apply_mag_head(params, state, cfg, x, training=False)
+        return logits
+
+    n = attr_cols.shape[0]
+    h = params["emb"]["table"].shape[1]
+    embs = np.empty((n, h), np.float32)
+    for i in range(0, n, batch_size):
+        embs[i: i + batch_size] = np.asarray(embed_chunk(
+            params, attr_cols[i: i + batch_size],
+            attr_vals[i: i + batch_size]))
+    prop = exact_propagate(adj_sl, embs, mode=mode, order=order, alpha=alpha)
+    out = np.empty((n, cfg.num_classes), np.float32)
+    for i in range(0, n, batch_size):
+        out[i: i + batch_size] = np.asarray(head_chunk(
+            params, state, cfg, prop[i: i + batch_size]))
+    return out

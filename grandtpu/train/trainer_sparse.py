@@ -28,7 +28,6 @@ import optax
 from grandtpu.config import GrandConfig
 from grandtpu.data import GraphData, load_data
 from grandtpu.data.preprocess import add_self_loops_adj
-from grandtpu.infer import exact_propagate
 from grandtpu.nn.dropnode import random_prop
 from grandtpu.nn.losses import consis_loss
 from grandtpu.nn.mag_mlp import apply_mag_head, init_mag_mlp
@@ -115,18 +114,7 @@ def _build_sparse_steps(mlp_cfg: MLPConfig, cfg: GrandConfig, optimizer,
         acc = ((jnp.argmax(logps, -1) == labels) * mask).sum() / denom
         return nll, acc
 
-    @jax.jit
-    def embed_chunk(params, attr_cols, attr_vals):
-        return embed_nodes(params["emb"], attr_cols, attr_vals,
-                           training=False)
-
-    @jax.jit
-    def head_chunk(params, state, x):
-        logits, _ = apply_mag_head(params, state, mlp_cfg, x,
-                                   training=False)
-        return logits
-
-    return train_step, eval_step, embed_chunk, head_chunk
+    return train_step, eval_step
 
 
 def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
@@ -169,7 +157,7 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     params, state = init_mag_mlp(init_key, mlp_cfg)
     optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
     opt_state = optimizer.init(params)
-    train_step, eval_step, embed_chunk, head_chunk = _build_sparse_steps(
+    train_step, eval_step = _build_sparse_steps(
         mlp_cfg, cfg, optimizer, n_class)
 
     val_rows = jnp.asarray(tk.row_positions(data.idx_val))
@@ -236,19 +224,12 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
             break
 
     # predict: all-node embeddings -> propagate in embedding space -> head
+    from grandtpu.infer.classify import predict_logits_sparse
     bp, bs = best["params"], best["state"]
-    n = data.num_nodes
-    chunk = 10000
-    embs = np.empty((n, bp["emb"]["table"].shape[1]), np.float32)
-    for i in range(0, n, chunk):
-        embs[i: i + chunk] = np.asarray(embed_chunk(
-            bp, attr_cols[i: i + chunk], attr_vals[i: i + chunk]))
-    prop = exact_propagate(adj_sl, embs, mode=cfg.prop_mode,
-                           order=cfg.order, alpha=cfg.alpha)
-    preds = np.empty(n, np.int64)
-    for i in range(0, n, chunk):
-        logits = np.asarray(head_chunk(bp, bs, prop[i: i + chunk]))
-        preds[i: i + chunk] = logits.argmax(1)
+    logits = predict_logits_sparse(
+        bp, bs, mlp_cfg, attr_cols, attr_vals, adj_sl,
+        mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
+    preds = logits.argmax(1)
     test_acc = float(np.equal(preds[data.idx_test],
                               labels_int[data.idx_test]).mean())
     total_time = time.time() - t_start
