@@ -1,0 +1,69 @@
+"""Scaling sweep: edges/s of the row-partitioned propagation vs shard count.
+
+On a real pod slice this produces the 1->2 host scaling-efficiency gate
+(BASELINE.md: >=80% on Amazon2M). With one chip or virtual CPU devices the
+absolute numbers are not meaningful, but the harness and its output format
+are the production artifact:
+
+    python -m grandtpu.bench.scaling            # uses all visible devices
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_scaling(n=100_000, avg_degree=20, f=128, order=5,
+                  shard_counts=None, repeats=3):
+    import jax
+
+    from grandtpu.data import synthetic_graph
+    from grandtpu.dist import ShardedGraph, make_mesh
+    from grandtpu.dist.spmm_shard import ShardedPropagator
+
+    n_dev = len(jax.devices())
+    if shard_counts is None:
+        shard_counts = [s for s in (1, 2, 4, 8, 16, 32)
+                        if s <= n_dev]
+    adj, _, _ = synthetic_graph(num_nodes=n, num_classes=8, num_features=4,
+                                avg_degree=avg_degree, seed=0)
+    adj = (adj + sp.eye(n, format="csr")).tocsr()
+    rs = np.random.RandomState(1)
+    feats = rs.rand(n, f).astype(np.float32)
+    log(f"graph n={n} nnz={adj.nnz} f={f}; devices={n_dev}")
+
+    results = []
+    base = None
+    for s in shard_counts:
+        mesh = make_mesh(n_data=s, n_model=1,
+                         devices=jax.devices()[:s])
+        g = ShardedGraph.build(adj, num_shards=s)
+        prop = ShardedPropagator(mesh, g)
+        x_dev = prop.place(feats)     # operator + features resident once
+        prop(x_dev, mode="ppr", order=order)  # warm/compile
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            prop(x_dev, mode="ppr", order=order)
+            times.append(time.time() - t0)
+        eps = adj.nnz * order / min(times)
+        if base is None:
+            base = eps
+        eff = eps / (base * s)
+        results.append({"shards": s, "edges_per_s": eps,
+                        "scaling_efficiency": eff})
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    bench_scaling()

@@ -10,6 +10,6 @@ full-graph propagation where we control the halo exchange.
 from grandtpu.dist.mesh import make_mesh  # noqa: F401
 from grandtpu.dist.data_parallel import shard_train_inputs  # noqa: F401
 from grandtpu.dist.spmm_shard import (  # noqa: F401
-    ShardedGraph, sharded_propagate,
+    ShardedGraph, ShardedPropagator, sharded_propagate,
 )
 from grandtpu.dist.push import sharded_gfpush  # noqa: F401

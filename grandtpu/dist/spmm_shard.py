@@ -77,24 +77,48 @@ class ShardedGraph:
                             rows_per)
 
 
+class ShardedPropagator:
+    """Device-resident row-partitioned propagation operator: the graph is
+    uploaded and sharded once at construction; each call moves only the
+    feature block (or none, if x is already placed)."""
+
+    def __init__(self, mesh: Mesh, g: ShardedGraph, axis: str = "data"):
+        self.mesh, self.g, self.axis = mesh, g, axis
+        data_sharding = NamedSharding(mesh, P(axis))
+        self.rows_l = jax.device_put(g.rows_local, data_sharding)
+        self.cols = jax.device_put(g.cols, data_sharding)
+        self.vals = jax.device_put(g.vals, data_sharding)
+        self.dinv = jax.device_put(g.dinv, data_sharding)
+
+    def place(self, x: np.ndarray):
+        """Pad + shard a [n, F] feature array over the mesh."""
+        n, f = self.g.num_nodes, x.shape[1]
+        n_pad = self.g.rows_per_shard * self.g.num_shards
+        x_pad = np.zeros((n_pad, f), np.float32)
+        x_pad[:n] = np.asarray(x, np.float32)
+        return jax.device_put(jnp.asarray(x_pad),
+                              NamedSharding(self.mesh, P(self.axis, None)))
+
+    def __call__(self, x, *, mode: str = "ppr", order: int = 10,
+                 alpha: float = 0.2) -> np.ndarray:
+        if not isinstance(x, jax.Array) or x.shape[0] != \
+                self.g.rows_per_shard * self.g.num_shards:
+            x = self.place(x)
+        out = _sharded_prop(self.mesh, self.axis, mode, order, alpha,
+                            self.rows_l, self.cols, self.vals, self.dinv, x)
+        return np.asarray(out)[: self.g.num_nodes]
+
+
 def sharded_propagate(mesh: Mesh, g: ShardedGraph, x: np.ndarray, *,
                       mode: str = "ppr", order: int = 10,
                       alpha: float = 0.2, axis: str = "data") -> np.ndarray:
-    """Exact power-iteration propagation over the mesh. x: [n, F] host or
-    device array. Returns the propagated [n, F] numpy array."""
-    n, f = g.num_nodes, x.shape[1]
-    n_pad = g.rows_per_shard * g.num_shards
-    x_pad = np.zeros((n_pad, f), np.float32)
-    x_pad[:n] = np.asarray(x, np.float32)
+    """One-shot convenience wrapper over ShardedPropagator."""
+    return ShardedPropagator(mesh, g, axis)(x, mode=mode, order=order,
+                                            alpha=alpha)
 
-    x_sharded = jax.device_put(
-        jnp.asarray(x_pad), NamedSharding(mesh, P(axis, None)))
-    data_sharding = NamedSharding(mesh, P(axis))
-    rows_l = jax.device_put(g.rows_local, data_sharding)
-    cols = jax.device_put(g.cols, data_sharding)
-    vals = jax.device_put(g.vals, data_sharding)
-    dinv = jax.device_put(g.dinv, data_sharding)
 
+def _sharded_prop(mesh, axis, mode, order, alpha, rows_l_in, cols_in,
+                  vals_in, dinv_in, x_sharded):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None),
@@ -139,5 +163,4 @@ def sharded_propagate(mesh: Mesh, g: ShardedGraph, x: np.ndarray, *,
             raise ValueError(f"unknown mode {mode!r}")
         return out
 
-    result = prop(rows_l, cols, vals, dinv, x_sharded)
-    return np.asarray(result)[:n]
+    return prop(rows_l_in, cols_in, vals_in, dinv_in, x_sharded)

@@ -128,14 +128,16 @@ def build_train_step(cfg: StepConfig, optimizer) -> Callable:
         (loss, (new_state, sup, unsup, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, state, features, tk_cols, tk_vals,
                                    batch, key, num_batch)
+        # reference measures the grad norm even with clipping disabled
+        # (model.py:116-120)
+        gnorm = optax.global_norm(grads)
         if cfg.clip_norm > 0:
-            gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, cfg.clip_norm / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {"loss": loss, "sup_loss": sup, "consis_loss": unsup,
-                   "train_acc": acc}
+                   "train_acc": acc, "grad_norm": gnorm}
         return params, new_state, opt_state, metrics
 
     return step

@@ -140,3 +140,14 @@ def test_trainer_num_devices():
                       eval_batch=5, push_backend="numpy", num_devices=8)
     r = train(cfg)
     assert r.test_acc > 0.7
+
+
+def test_scaling_harness_runs():
+    """Scaling sweep executes on the virtual mesh and reports efficiency
+    (absolute numbers are meaningless on virtual devices — format check)."""
+    from grandtpu.bench.scaling import bench_scaling
+    res = bench_scaling(n=2000, avg_degree=8, f=32, order=2,
+                        shard_counts=[1, 2, 4], repeats=1)
+    assert [r["shards"] for r in res] == [1, 2, 4]
+    assert all(r["edges_per_s"] > 0 for r in res)
+    assert res[0]["scaling_efficiency"] == 1.0
