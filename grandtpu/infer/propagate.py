@@ -36,16 +36,16 @@ from grandtpu.sparse.spmm import (BlockCSR, PaddedCSR, spmm_block,
 
 @functools.partial(jax.jit,
                    static_argnames=("mode", "order", "backend", "fast"))
-def _propagate_device(adj_op, dinv, x, *, mode: str, order: int,
+def _propagate_device(adj_op, x, *, mode: str, order: int,
                       alpha, backend: str, fast: bool = True):
+    # D^-1 is folded into the operator values at build time (one less
+    # [n, F] elementwise pass per iteration)
     def apply_p(v):
         if backend == "dense":
-            y = jnp.dot(adj_op, v, preferred_element_type=jnp.float32)
-        elif backend == "block":
-            y = spmm_block(adj_op, v, fast=fast)
-        else:
-            y = spmm_segment(adj_op, v)
-        return dinv[:, None] * y
+            return jnp.dot(adj_op, v, preferred_element_type=jnp.float32)
+        if backend == "block":
+            return spmm_block(adj_op, v, fast=fast)
+        return spmm_segment(adj_op, v)
 
     if mode == "ppr":
         x0 = alpha * x
@@ -82,27 +82,28 @@ class Propagator:
                  backend: str | None = None, dtype=jnp.float32):
         n = adj.shape[0]
         deg = np.asarray(adj.sum(1)).flatten()
-        self.dinv = jnp.asarray(1.0 / np.maximum(deg, 1e-12), dtype)
+        dinv = 1.0 / np.maximum(deg, 1e-12)
+        a_norm = sp.diags(dinv).dot(adj).tocsr()   # D^-1 A, folded once
         if backend is None:
             backend = "dense" if n <= dense_threshold else "block"
         if backend == "dense":
-            self.adj_op = jnp.asarray(np.asarray(adj.todense()), dtype)
+            self.adj_op = jnp.asarray(np.asarray(a_norm.todense()), dtype)
         elif backend == "block":
-            bcsr = BlockCSR.from_scipy(adj)
+            bcsr = BlockCSR.from_scipy(a_norm)
             if bcsr.pad_overhead > 2.0:
                 backend = "segment"
-                self.adj_op = PaddedCSR.from_scipy(adj)
+                self.adj_op = PaddedCSR.from_scipy(a_norm)
             else:
                 self.adj_op = bcsr
         else:
-            self.adj_op = PaddedCSR.from_scipy(adj)
+            self.adj_op = PaddedCSR.from_scipy(a_norm)
         self.backend = backend
         self.dtype = dtype
 
     def __call__(self, features, *, mode: str = "ppr", order: int = 10,
                  alpha: float = 0.2, fast: bool = False) -> jnp.ndarray:
         x = jnp.asarray(features, self.dtype)
-        return _propagate_device(self.adj_op, self.dinv, x, mode=mode,
+        return _propagate_device(self.adj_op, x, mode=mode,
                                  order=order, alpha=float(alpha),
                                  backend=self.backend, fast=fast)
 
