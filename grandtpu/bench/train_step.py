@@ -1,0 +1,85 @@
+"""Training-step latency/throughput on device.
+
+Measures the pure jitted GRAND+ step (K augmentations + loss + Adam) with
+all operands device-resident, back-to-back (the dispatch of step t+1
+overlaps the device execution of step t, so per-step cost approaches the
+device time, not the tunnel round trip).
+
+    python -m grandtpu.bench.train_step
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+CONFIGS = {
+    # name: (n_nodes, n_feat, classes, hidden, nlayers, batch, unlabel, ktop)
+    "cora-like": (2708, 1433, 7, 64, 2, 50, 100, 32),
+    "reddit-like": (233_000, 602, 41, 512, 2, 50, 200, 64),
+    "amazon2m-like": (2_000_000, 100, 47, 1024, 2, 50, 200, 64),
+}
+
+
+def bench_train_step(name: str, steps: int = 50):
+    import jax
+    import jax.numpy as jnp
+
+    from grandtpu.nn.mlp import MLPConfig, init_mlp
+    from grandtpu.train.step import (StepConfig, build_train_step,
+                                     make_optimizer)
+
+    n, f, c, h, nl, bs, ub, ktop = CONFIGS[name]
+    rs = np.random.RandomState(0)
+    features = jnp.asarray(rs.rand(n, f).astype(np.float32))
+    n_src = bs * 4 + ub * 4
+    tk_cols = jnp.asarray(rs.randint(0, n, (n_src, ktop)).astype(np.int32))
+    tk_vals = jnp.asarray(rs.rand(n_src, ktop).astype(np.float32))
+
+    mlp_cfg = MLPConfig(num_features=f, num_classes=c, hidden=h, nlayers=nl,
+                        use_bn=True, input_droprate=0.2, hidden_droprate=0.2)
+    step_cfg = StepConfig(mlp=mlp_cfg, k_aug=2, dropnode_rate=0.5,
+                          n_train=bs, lam=1.0, warmup=100.0, tem=0.1,
+                          conf=2.0 / c, loss_kind="l2", clip_norm=-1.0)
+    optimizer = make_optimizer(1e-3, 1e-4)
+    params, state = init_mlp(jax.random.PRNGKey(0), mlp_cfg)
+    opt_state = optimizer.init(params)
+    step = build_train_step(step_cfg, optimizer)
+
+    batch = {
+        "rows": jnp.asarray(rs.randint(0, n_src, bs + ub).astype(np.int32)),
+        "labels": jnp.asarray(rs.randint(0, c, bs).astype(np.int32)),
+        "label_mask": jnp.ones(bs, jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    # warm
+    params, state, opt_state, m = step(params, state, opt_state, features,
+                                       tk_cols, tk_vals, batch, key,
+                                       jnp.float32(0))
+    jax.block_until_ready(m["loss"])
+    t0 = time.time()
+    for i in range(steps):
+        params, state, opt_state, m = step(
+            params, state, opt_state, features, tk_cols, tk_vals, batch,
+            key, jnp.float32(i))
+    jax.block_until_ready(m["loss"])
+    dt = (time.time() - t0) / steps
+    edges = (bs + ub) * ktop * step_cfg.k_aug
+    out = {"metric": f"train_step_{name}", "value": 1.0 / dt,
+           "unit": "steps/s", "step_ms": dt * 1000,
+           "aggregated_edges_per_s": edges / dt}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    for name in CONFIGS:
+        bench_train_step(name)

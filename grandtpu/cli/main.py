@@ -54,7 +54,6 @@ def _build_config(args) -> GrandConfig:
 
 def cmd_run(args) -> int:
     from grandtpu.train import train
-    from grandtpu.train.trainer_sparse import train_sparse
 
     cfg = _build_config(args)
     accs, times, btimes, nbatches = [], [], [], []
@@ -64,8 +63,7 @@ def cmd_run(args) -> int:
                                   cfg.seed1,
                                   seed2=s2 if cfg.seed2_runs > 1 else
                                   cfg.seed2)
-            fn = train_sparse if run_cfg.sparse_features else train
-            r = fn(run_cfg)
+            r = train(run_cfg)   # auto-dispatches on feature format
             accs.append(r.test_acc)
             times.append(r.total_time)
             btimes.append(r.batch_time_avg)

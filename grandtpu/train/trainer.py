@@ -67,6 +67,11 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
     rng = np.random.RandomState(cfg.seed2)
     if data is None:
         data = load_data(cfg.dataset, split_seed=cfg.seed1)
+    if data.has_sparse_features:
+        # dispatch like the reference driver does on dataset name
+        # (run_model.py:87-90), but on the actual feature format
+        from grandtpu.train.trainer_sparse import train_sparse
+        return train_sparse(cfg, data=data, log=log)
 
     t_start = time.time()
     adj_sl = add_self_loops_adj(data.adj)
