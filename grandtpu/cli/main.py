@@ -105,10 +105,10 @@ def cmd_predict(args) -> int:
     data = load_data(cfg.dataset, split_seed=cfg.seed1)
     adj_sl = add_self_loops_adj(data.adj)
     sparse = cfg.sparse_features or data.has_sparse_features
-    num_features = (data.features.shape[1] if not sparse
-                    else data.features.shape[1])
+    # num_features is the attr vocabulary size in the sparse case and the
+    # dense feature dim otherwise — both are features.shape[1]
     mlp_cfg = MLPConfig(
-        num_features=num_features, num_classes=data.num_classes,
+        num_features=data.features.shape[1], num_classes=data.num_classes,
         hidden=cfg.hidden, nlayers=cfg.nlayers, use_bn=cfg.use_bn,
         node_norm=cfg.node_norm, input_droprate=cfg.input_droprate,
         hidden_droprate=cfg.hidden_droprate)

@@ -167,32 +167,47 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
             verbose(f"no checkpoint at {latest}; starting fresh")
 
     for epoch in range(cfg.epochs):
+        # assemble the WHOLE epoch's batches host-side and upload once:
+        # per-step host->device transfers would cost a tunnel round trip
+        # each, dwarfing the ~0.3-0.6ms device step
         order_perm = rng.permutation(len(train_positions))
-        for start in range(0, len(order_perm), cfg.batch_size):
-            bt0 = time.time()
+        n_steps = -(-len(order_perm) // cfg.batch_size)
+        rows_np = np.empty((n_steps, cfg.batch_size
+                            + cfg.unlabel_batch_size), np.int32)
+        labels_np = np.empty((n_steps, cfg.batch_size), np.int32)
+        masks_np = np.empty((n_steps, cfg.batch_size), np.float32)
+        for i, start in enumerate(range(0, len(order_perm),
+                                        cfg.batch_size)):
             sel = order_perm[start: start + cfg.batch_size]
             tr_idx, label_mask = _pad_batch(sel, cfg.batch_size)
-            # unlabeled batch: uniform subsample (reference model.py:107-113)
+            # unlabeled batch: uniform subsample (reference
+            # model.py:107-113)
             un_sel = rng.permutation(len(sample_positions))[
                 : cfg.unlabel_batch_size]
             un_idx, _ = _pad_batch(un_sel, cfg.unlabel_batch_size)
+            rows_np[i] = np.concatenate([train_positions[tr_idx],
+                                         sample_positions[un_idx]])
+            labels_np[i] = train_labels_all[tr_idx]
+            masks_np[i] = label_mask
+        rows_e = jnp.asarray(rows_np)
+        labels_e = jnp.asarray(labels_np)
+        masks_e = jnp.asarray(masks_np)
+        key, sub = jax.random.split(key)
+        keys_e = jax.random.split(sub, n_steps)
+        nb_e = jnp.arange(num_batch, num_batch + n_steps,
+                          dtype=jnp.float32)
 
-            batch = {
-                "rows": jnp.asarray(np.concatenate([
-                    train_positions[tr_idx],
-                    sample_positions[un_idx]]).astype(np.int32)),
-                "labels": jnp.asarray(
-                    train_labels_all[tr_idx].astype(np.int32)),
-                "label_mask": jnp.asarray(label_mask),
-            }
+        for i in range(n_steps):
+            bt0 = time.time()
+            batch = {"rows": rows_e[i], "labels": labels_e[i],
+                     "label_mask": masks_e[i]}
             if mesh is not None:
                 from grandtpu.dist.data_parallel import shard_batch
                 batch = shard_batch(mesh, batch)
-            key, step_key = jax.random.split(key)
             with timer:
                 params, state, opt_state, metrics = train_step(
                     params, state, opt_state, features, tk_cols, tk_vals,
-                    batch, step_key, jnp.float32(num_batch))
+                    batch, keys_e[i], nb_e[i])
             batch_times.append(time.time() - bt0)
 
             if num_batch % cfg.eval_batch == 0:
