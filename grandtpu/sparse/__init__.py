@@ -1,9 +1,11 @@
 """Static-shape sparse containers and SpMM primitives for TPU.
 
 - ``topk``  padded [n_src, K] top-k propagation rows (the training-side Pi)
-- ``spmm``  full-graph sparse @ dense: dense MXU path for small graphs,
-            padded-edge segment-sum path for large graphs
-- ``pallas_spmm`` hand-written row-blocked Pallas SpMM kernel
+- ``spmm``  full-graph sparse @ dense: dense MXU path (small graphs),
+            BlockCSR one-hot-matmul path (the TPU SpMM kernel — see the
+            design note in RESULTS.md: Mosaic has no row-gather, so the
+            MXU formulation in XLA is the hand-optimized kernel here),
+            padded-edge segment-sum fallback
 """
 
 from grandtpu.sparse.topk import TopKProp  # noqa: F401

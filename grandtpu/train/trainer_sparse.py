@@ -174,26 +174,40 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     stop = False
 
     for epoch in range(cfg.epochs):
+        # epoch-granularity batch upload (see trainer.py): zero per-step
+        # host->device transfers
         order_perm = rng.permutation(len(train_positions))
-        for start in range(0, len(order_perm), cfg.batch_size):
-            bt0 = time.time()
+        n_steps = -(-len(order_perm) // cfg.batch_size)
+        rows_np = np.empty((n_steps, cfg.batch_size
+                            + cfg.unlabel_batch_size), np.int32)
+        labels_np = np.empty((n_steps, cfg.batch_size), np.int32)
+        masks_np = np.empty((n_steps, cfg.batch_size), np.float32)
+        for i, start in enumerate(range(0, len(order_perm),
+                                        cfg.batch_size)):
             sel = order_perm[start: start + cfg.batch_size]
             tr_idx, label_mask = _pad_batch(sel, cfg.batch_size)
             un_sel = rng.permutation(len(sample_positions))[
                 : cfg.unlabel_batch_size]
             un_idx, _ = _pad_batch(un_sel, cfg.unlabel_batch_size)
-            batch = {
-                "rows": jnp.asarray(np.concatenate([
-                    train_positions[tr_idx],
-                    sample_positions[un_idx]]).astype(np.int32)),
-                "labels": jnp.asarray(
-                    train_labels_all[tr_idx].astype(np.int32)),
-                "label_mask": jnp.asarray(label_mask),
-            }
-            key, step_key = jax.random.split(key)
+            rows_np[i] = np.concatenate([train_positions[tr_idx],
+                                         sample_positions[un_idx]])
+            labels_np[i] = train_labels_all[tr_idx]
+            masks_np[i] = label_mask
+        rows_e = jnp.asarray(rows_np)
+        labels_e = jnp.asarray(labels_np)
+        masks_e = jnp.asarray(masks_np)
+        key, sub = jax.random.split(key)
+        keys_e = jax.random.split(sub, n_steps)
+        nb_e = jnp.arange(num_batch, num_batch + n_steps,
+                          dtype=jnp.float32)
+
+        for i in range(n_steps):
+            bt0 = time.time()
+            batch = {"rows": rows_e[i], "labels": labels_e[i],
+                     "label_mask": masks_e[i]}
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, attr_cols, attr_vals, tk_cols,
-                tk_vals, batch, step_key, jnp.float32(num_batch))
+                tk_vals, batch, keys_e[i], nb_e[i])
             batch_times.append(time.time() - bt0)
 
             if num_batch % cfg.eval_batch == 0:
