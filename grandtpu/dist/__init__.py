@@ -13,3 +13,6 @@ from grandtpu.dist.spmm_shard import (  # noqa: F401
     ShardedGraph, ShardedPropagator, sharded_propagate,
 )
 from grandtpu.dist.push import sharded_gfpush  # noqa: F401
+from grandtpu.dist.halo import (  # noqa: F401
+    HaloPropagator, HaloShardedGraph,
+)

@@ -1,0 +1,208 @@
+"""Halo-compressed row-partitioned propagation: all-to-all boundary
+feature exchange.
+
+The all_gather variant (``spmm_shard``) moves ALL of X to every device each
+iteration. At higher device counts each shard's edges only reference a
+subset of remote rows, so this variant exchanges exactly the needed
+("boundary") rows, precomputed statically per (owner, receiver) pair:
+
+  1. build time: for each receiver d and owner s, the unique global columns
+     of d's edges owned by s become a padded local-index list; edge columns
+     are remapped into the receive-buffer coordinate system;
+  2. step time (shard_map): each owner gathers its send rows
+     [n_dev, C_max, F], one ``all_to_all`` over the mesh axis delivers every
+     receiver its halo, and the local SpMM reads from the concatenated
+     buffer — comm volume is n_dev*C_max*F instead of n_pad*F.
+
+This is the graph analogue of ring-attention's KV-block exchange
+(SURVEY.md §5 long-context entry). Win condition: C_max*n_dev << n_pad —
+high device counts and/or low average degree; at low device counts on dense
+graphs nearly every row is somebody's boundary and all_gather is already
+optimal (the build reports the compression ratio so callers can choose).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloShardedGraph:
+    """Row-partitioned D^-1 A with precomputed halo-exchange metadata."""
+
+    rows_local: jnp.ndarray  # int32 [S, E_max] local row idx (pad: rows_per)
+    cols_remap: jnp.ndarray  # int32 [S, E_max] index into recv buffer
+    vals: jnp.ndarray        # float32 [S, E_max] D^-1-folded (pad: 0)
+    send_idx: jnp.ndarray    # int32 [S(owner), S(receiver), C_max] local ids
+    num_nodes: int
+    rows_per_shard: int
+    halo_per_pair: int       # C_max
+
+    @property
+    def num_shards(self) -> int:
+        return self.rows_local.shape[0]
+
+    @property
+    def compression(self) -> float:
+        """comm volume ratio vs all_gather (<1 means halo wins). Only
+        off-shard rows cross the interconnect."""
+        n_pad = self.rows_per_shard * self.num_shards
+        return (self.num_shards * self.halo_per_pair) / n_pad
+
+    @staticmethod
+    def build(adj: sp.spmatrix, num_shards: int) -> "HaloShardedGraph":
+        adj = adj.tocsr()
+        n = adj.shape[0]
+        rows_per = -(-n // num_shards)
+        deg = np.asarray(adj.sum(1)).flatten()
+        dinv = (1.0 / np.maximum(deg, 1e-12)).astype(np.float32)
+
+        coo = adj.tocoo()
+        shard_of_row = coo.row // rows_per
+        shard_of_col = coo.col // rows_per
+
+        # per (receiver d, owner s!=d): unique needed local column ids.
+        # own-shard columns never cross the interconnect — they are read
+        # straight from x_local (appended to the receive buffer).
+        needed: list[list[np.ndarray]] = []
+        c_max = 1
+        for d in range(num_shards):
+            row_mask = shard_of_row == d
+            per_owner = []
+            for s in range(num_shards):
+                if s == d:
+                    per_owner.append(np.empty(0, np.int64))
+                    continue
+                m = row_mask & (shard_of_col == s)
+                uniq = np.unique(coo.col[m]) - s * rows_per
+                per_owner.append(uniq.astype(np.int64))
+                c_max = max(c_max, uniq.shape[0])
+            needed.append(per_owner)
+
+        send_idx = np.zeros((num_shards, num_shards, c_max), np.int32)
+        for d in range(num_shards):
+            for s in range(num_shards):
+                u = needed[d][s]
+                send_idx[s, d, : u.shape[0]] = u  # owner s -> receiver d
+
+        # remap each receiver's edge columns into its receive buffer
+        e_max = 1
+        per_shard_edges = []
+        for d in range(num_shards):
+            m = shard_of_row == d
+            r = (coo.row[m] - d * rows_per).astype(np.int32)
+            v = (coo.data[m] * dinv[coo.row[m]]).astype(np.float32)
+            owners = shard_of_col[m]
+            local_cols = coo.col[m] - owners * rows_per
+            remapped = np.empty(r.shape[0], np.int32)
+            for s in range(num_shards):
+                ms = owners == s
+                if s == d:
+                    # local columns: read from the x_local tail segment
+                    remapped[ms] = (num_shards * c_max
+                                    + local_cols[ms]).astype(np.int32)
+                    continue
+                # position of each needed local col in the (d,s) halo list
+                pos = np.searchsorted(needed[d][s], local_cols[ms])
+                remapped[ms] = (s * c_max + pos).astype(np.int32)
+            per_shard_edges.append((r, remapped, v))
+            e_max = max(e_max, r.shape[0])
+        e_max = -(-e_max // 128) * 128
+
+        rows_l = np.full((num_shards, e_max), rows_per, np.int32)
+        cols_m = np.zeros((num_shards, e_max), np.int32)
+        vals = np.zeros((num_shards, e_max), np.float32)
+        for d, (r, c, v) in enumerate(per_shard_edges):
+            rows_l[d, : r.shape[0]] = r
+            cols_m[d, : c.shape[0]] = c
+            vals[d, : v.shape[0]] = v
+        return HaloShardedGraph(
+            jnp.asarray(rows_l), jnp.asarray(cols_m), jnp.asarray(vals),
+            jnp.asarray(send_idx), n, rows_per, c_max)
+
+
+class HaloPropagator:
+    """Device-resident halo-exchange propagation operator."""
+
+    def __init__(self, mesh: Mesh, g: HaloShardedGraph,
+                 axis: str = "data"):
+        self.mesh, self.g, self.axis = mesh, g, axis
+        sh = NamedSharding(mesh, P(axis))
+        self.rows_l = jax.device_put(g.rows_local, sh)
+        self.cols_m = jax.device_put(g.cols_remap, sh)
+        self.vals = jax.device_put(g.vals, sh)
+        self.send_idx = jax.device_put(g.send_idx, sh)
+
+    def place(self, x: np.ndarray):
+        n, f = self.g.num_nodes, x.shape[1]
+        n_pad = self.g.rows_per_shard * self.g.num_shards
+        x_pad = np.zeros((n_pad, f), np.float32)
+        x_pad[:n] = np.asarray(x, np.float32)
+        return jax.device_put(jnp.asarray(x_pad),
+                              NamedSharding(self.mesh, P(self.axis, None)))
+
+    def __call__(self, x, *, mode: str = "ppr", order: int = 10,
+                 alpha: float = 0.2) -> np.ndarray:
+        g, axis = self.g, self.axis
+        if not isinstance(x, jax.Array) or x.shape[0] != \
+                g.rows_per_shard * g.num_shards:
+            x = self.place(x)
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None, None), P(axis, None)),
+            out_specs=P(axis, None))
+        def prop(rows_l, cols_m, vals, send_idx, x_local):
+            rows_l, cols_m, vals, send_idx = (
+                rows_l[0], cols_m[0], vals[0], send_idx[0])
+            rows_per = x_local.shape[0]
+
+            def apply_p(x_loc):
+                send = jnp.take(x_loc, send_idx, axis=0)  # [S, C, F]
+                halo = jax.lax.all_to_all(
+                    send, axis, split_axis=0, concat_axis=0, tiled=False)
+                buf = jnp.concatenate(
+                    [halo.reshape(-1, x_loc.shape[1]), x_loc])
+                # [S*C + rows_per, F]; local cols index past the halo
+                contrib = jnp.take(buf, cols_m, axis=0) * vals[:, None]
+                acc = jnp.zeros((rows_per + 1, x_loc.shape[1]),
+                                x_loc.dtype)
+                acc = acc.at[rows_l].add(contrib, indices_are_sorted=True)
+                return acc[:rows_per]
+
+            if mode == "ppr":
+                cur = alpha * x_local
+
+                def body(_, carry):
+                    cur, acc = carry
+                    cur = (1.0 - alpha) * apply_p(cur)
+                    return cur, acc + cur
+
+                _, out = jax.lax.fori_loop(0, order, body, (cur, cur))
+            elif mode == "avg":
+                def body(_, carry):
+                    cur, acc = carry
+                    cur = apply_p(cur)
+                    return cur, acc + cur
+
+                _, acc = jax.lax.fori_loop(0, order, body,
+                                           (x_local, x_local))
+                out = acc / (order + 1)
+            elif mode == "single":
+                out = jax.lax.fori_loop(0, order, lambda _, v: apply_p(v),
+                                        x_local)
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            return out
+
+        result = prop(self.rows_l, self.cols_m, self.vals, self.send_idx, x)
+        return np.asarray(result)[: g.num_nodes]
