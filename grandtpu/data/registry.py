@@ -98,7 +98,10 @@ def load_data(dataset_str: str = "cora", split_seed: int = 0,
     """Load a dataset with reference split semantics
     (``utils/data_loader.py:15-144``)."""
     if dataset_str.startswith("synth:"):
-        return _load_synthetic(dataset_str, split_seed)
+        data = _load_synthetic(dataset_str, split_seed)
+        if renormalize:
+            data.adj = pp.sym_renormalize(data.adj)
+        return data
 
     path = _resolve_dir(dataset_str)
     try:

@@ -119,3 +119,13 @@ def test_synthetic_registry():
 def test_missing_dataset_raises():
     with pytest.raises((NotImplementedError, FileNotFoundError)):
         load_data("no_such_dataset")
+
+
+def test_renormalize_option():
+    """D^-1/2 (A+I) D^-1/2 renormalization (reference
+    utils/data_loader.py:133-142, off by default)."""
+    d = load_data("synth:100:2:8", split_seed=0, renormalize=True)
+    # renormalized adjacency has rows summing near 1 for regular-ish parts
+    # and is symmetric with self-loop mass on the diagonal
+    assert (abs(d.adj - d.adj.T)).max() < 1e-6
+    assert d.adj.diagonal().min() > 0
