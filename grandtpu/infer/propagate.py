@@ -44,8 +44,14 @@ def _propagate_device(adj_op, x, *, mode: str, order: int,
         if backend == "dense":
             return jnp.dot(adj_op, v, preferred_element_type=jnp.float32)
         if backend == "block":
-            return spmm_block(adj_op, v, fast=fast)
+            # v is block-padded; keep it padded through the loop
+            return spmm_block(adj_op, v, fast=fast, trim=False)
         return spmm_segment(adj_op, v)
+
+    n = x.shape[0]
+    if backend == "block":
+        n_pad = adj_op.num_blocks * adj_op.rows_per_block
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
     if mode == "ppr":
         x0 = alpha * x
@@ -55,19 +61,20 @@ def _propagate_device(adj_op, x, *, mode: str, order: int,
             cur = (1.0 - alpha) * apply_p(cur)
             return cur, acc + cur
 
-        _, prop = jax.lax.fori_loop(0, order, body, (x0, x0))
-        return prop
-    if mode == "avg":
+        _, out = jax.lax.fori_loop(0, order, body, (x0, x0))
+    elif mode == "avg":
         def body(_, carry):
             cur, acc = carry
             cur = apply_p(cur)
             return cur, acc + cur
 
         _, acc = jax.lax.fori_loop(0, order, body, (x, x))
-        return acc / (order + 1)
-    if mode == "single":
-        return jax.lax.fori_loop(0, order, lambda _, v: apply_p(v), x)
-    raise ValueError(f"unknown propagation mode {mode!r}")
+        out = acc / (order + 1)
+    elif mode == "single":
+        out = jax.lax.fori_loop(0, order, lambda _, v: apply_p(v), x)
+    else:
+        raise ValueError(f"unknown propagation mode {mode!r}")
+    return out[:n]
 
 
 class Propagator:

@@ -170,12 +170,16 @@ jax.tree_util.register_pytree_node(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("fast",))
-def spmm_block(bcsr: BlockCSR, x: jnp.ndarray, fast: bool = True):
+@functools.partial(jax.jit, static_argnames=("fast", "trim"))
+def spmm_block(bcsr: BlockCSR, x: jnp.ndarray, fast: bool = True,
+               trim: bool = True):
     """y = A @ x via the one-hot-matmul block formulation.
 
     fast=True: bf16 one-hot matmul (rel err ~1e-3, 2x faster).
     fast=False: float32 with HIGHEST precision (rel err ~1e-6).
+    trim=False returns the block-padded [n_blocks*R, F] result (padding rows
+    are zero) — power-iteration loops keep everything padded and slice once
+    at the end, avoiding a [n, F] copy per application.
     """
     r = bcsr.rows_per_block
     n, f = bcsr.num_nodes, x.shape[1]
@@ -192,7 +196,8 @@ def spmm_block(bcsr: BlockCSR, x: jnp.ndarray, fast: bool = True):
         return None, out
 
     _, outs = jax.lax.scan(step, None, (bcsr.cols, bcsr.vals, bcsr.lrow))
-    return outs.reshape(-1, f)[:n]
+    out = outs.reshape(-1, f)
+    return out[:n] if trim else out
 
 
 def normalized_dense_adj(adj: sp.spmatrix, dtype=jnp.float32) -> jnp.ndarray:
