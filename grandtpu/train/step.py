@@ -82,6 +82,14 @@ def _forward_k(params, state, cfg: StepConfig, features, cols, vals, key,
                                         key=k_mlp, training=training)
         return carry_state, jax.nn.log_softmax(logits, axis=-1)
 
+    if not cfg.mlp.use_bn and not cfg.pallas_dropnode:
+        # no cross-augmentation state: vmap the K forwards into one batched
+        # program (the scan is only needed to thread BN running stats
+        # sequentially like K torch forwards would; the Pallas kernel keeps
+        # the scan path — scalar-prefetch args don't batch under vmap)
+        logps = jax.vmap(lambda k: one_aug(state, k)[1])(keys)
+        return logps, state
+
     new_state, logps = jax.lax.scan(one_aug, state, keys)
     return logps, new_state
 
