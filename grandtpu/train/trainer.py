@@ -1,11 +1,10 @@
-"""Host-side experiment loop: the L3 engine (dense-feature path).
+"""Host-side experiment driver: the L3 engine (dense-feature path).
 
 Reproduces reference ``main`` (``model.py:227-373``) around the jitted step:
 
   load -> self-loops -> unlabeled pool -> GFPush top-k -> device-resident
-  (features, top-k table) -> epoch x batch loop with K augmentations ->
-  eval-every-eval_batch early stopping with best-state capture -> exact
-  full-graph propagation test.
+  (features, top-k table) -> shared training loop (``loop.py``) -> exact
+  full-graph propagation test with the best weights.
 
 All shapes entering jit are static: partial train batches are padded with
 duplicated rows and masked out of the loss (documented divergence: with BN
@@ -28,11 +27,14 @@ from grandtpu.data import GraphData, load_data
 from grandtpu.data.preprocess import add_self_loops_adj
 from grandtpu.infer import exact_propagate, test_accuracy
 from grandtpu.nn.mlp import MLPConfig, init_mlp
-from grandtpu.observe import MetricsLogger, StepTimer, profile_trace
+from grandtpu.observe import profile_trace
 from grandtpu.ppr import gfpush
-from grandtpu.train.checkpoint import load_checkpoint, save_checkpoint
+from grandtpu.train.loop import pad_batch, run_training_loop
 from grandtpu.train.step import (StepConfig, build_eval_step,
                                  build_train_step, make_optimizer)
+
+# kept importable from here for backward compatibility
+_pad_batch = pad_batch
 
 
 @dataclasses.dataclass
@@ -47,16 +49,6 @@ class TrainResult:
     params: object = None
     state: object = None
     history: list = dataclasses.field(default_factory=list)
-
-
-def _pad_batch(idx: np.ndarray, size: int):
-    """Pad a partial batch by wrapping its own rows; mask marks real rows."""
-    mask = np.zeros(size, dtype=np.float32)
-    mask[: idx.shape[0]] = 1.0
-    if idx.shape[0] < size:
-        reps = -(-size // idx.shape[0])
-        idx = np.tile(idx, reps)[:size]
-    return idx, mask
 
 
 def train(cfg: GrandConfig, data: Optional[GraphData] = None,
@@ -136,138 +128,29 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
     val_labels = jnp.asarray(labels_int[data.idx_val])
     val_mask = jnp.ones(len(data.idx_val), jnp.float32)
 
-    sample_positions = tk.row_positions(idx_sample)
-    train_positions = tk.row_positions(data.idx_train)
-    train_labels_all = labels_int[data.idx_train]
+    def step_fn(params, state, opt_state, batch, step_key, nb):
+        return train_step(params, state, opt_state, features, tk_cols,
+                          tk_vals, batch, step_key, nb)
 
-    best = {"acc": 0.0, "loss": np.inf, "params": params, "state": state,
-            "batch": 0, "epoch": 0}
-    bad_counter = 0
-    num_batch = 0
-    batch_times = []
-    history = []
-    stop = False
+    def eval_fn(params, state):
+        return eval_step(params, state, features, tk_cols, tk_vals,
+                         val_rows, val_labels, val_mask)
 
-    metrics_log = MetricsLogger(cfg.metrics_path)
-    timer = StepTimer(edges_per_step=(cfg.batch_size
-                                      + cfg.unlabel_batch_size) * tk.k
-                      * cfg.sample)
-    if cfg.resume and cfg.ckpt_dir:
-        latest = f"{cfg.ckpt_dir}/latest.npz"
-        try:
-            params, state, opt_state, meta = load_checkpoint(
-                latest, params_template=params, state_template=state,
-                opt_template=opt_state)
-            num_batch = int(meta["num_batch"])
-            best["acc"] = float(meta["best_val_acc"])
-            best["loss"] = float(meta["best_val_loss"])
-            best["params"], best["state"] = params, state
-            verbose(f"resumed from {latest} at batch {num_batch}")
-        except FileNotFoundError:
-            verbose(f"no checkpoint at {latest}; starting fresh")
+    batch_transform = None
+    if mesh is not None:
+        from grandtpu.dist.data_parallel import shard_batch
+        batch_transform = lambda b: shard_batch(mesh, b)  # noqa: E731
 
-    for epoch in range(cfg.epochs):
-        # assemble the WHOLE epoch's batches host-side and upload once:
-        # per-step host->device transfers would cost a tunnel round trip
-        # each, dwarfing the ~0.3-0.6ms device step
-        order_perm = rng.permutation(len(train_positions))
-        n_steps = -(-len(order_perm) // cfg.batch_size)
-        rows_np = np.empty((n_steps, cfg.batch_size
-                            + cfg.unlabel_batch_size), np.int32)
-        labels_np = np.empty((n_steps, cfg.batch_size), np.int32)
-        masks_np = np.empty((n_steps, cfg.batch_size), np.float32)
-        for i, start in enumerate(range(0, len(order_perm),
-                                        cfg.batch_size)):
-            sel = order_perm[start: start + cfg.batch_size]
-            tr_idx, label_mask = _pad_batch(sel, cfg.batch_size)
-            # unlabeled batch: uniform subsample (reference
-            # model.py:107-113)
-            un_sel = rng.permutation(len(sample_positions))[
-                : cfg.unlabel_batch_size]
-            un_idx, _ = _pad_batch(un_sel, cfg.unlabel_batch_size)
-            rows_np[i] = np.concatenate([train_positions[tr_idx],
-                                         sample_positions[un_idx]])
-            labels_np[i] = train_labels_all[tr_idx]
-            masks_np[i] = label_mask
-        rows_e = jnp.asarray(rows_np)
-        labels_e = jnp.asarray(labels_np)
-        masks_e = jnp.asarray(masks_np)
-        key, sub = jax.random.split(key)
-        keys_e = jax.random.split(sub, n_steps)
-        nb_e = jnp.arange(num_batch, num_batch + n_steps,
-                          dtype=jnp.float32)
-
-        for i in range(n_steps):
-            bt0 = time.time()
-            batch = {"rows": rows_e[i], "labels": labels_e[i],
-                     "label_mask": masks_e[i]}
-            if mesh is not None:
-                from grandtpu.dist.data_parallel import shard_batch
-                batch = shard_batch(mesh, batch)
-            with timer:
-                params, state, opt_state, metrics = train_step(
-                    params, state, opt_state, features, tk_cols, tk_vals,
-                    batch, keys_e[i], nb_e[i])
-            batch_times.append(time.time() - bt0)
-
-            if num_batch % cfg.eval_batch == 0:
-                val_loss, val_acc = eval_step(
-                    params, state, features, tk_cols, tk_vals, val_rows,
-                    val_labels, val_mask)
-                val_loss, val_acc = float(val_loss), float(val_acc)
-                history.append({"batch": num_batch, "val_loss": val_loss,
-                                "val_acc": val_acc,
-                                "loss": float(metrics["loss"])})
-                metrics_log.log(batch=num_batch, epoch=epoch,
-                                val_loss=val_loss, val_acc=val_acc,
-                                train_loss=float(metrics["loss"]),
-                                batch_time_s=batch_times[-1])
-                verbose(f"epoch {epoch}, batch {num_batch}, "
-                        f"validation loss {val_loss:.4f}, "
-                        f"validation acc {val_acc:.4f}")
-                improved = False
-                if val_acc >= best["acc"]:
-                    if cfg.stop_mode == "acc" or (
-                            cfg.stop_mode == "both"
-                            and val_loss <= best["loss"]):
-                        best.update(acc=val_acc, loss=val_loss,
-                                    params=params, state=state,
-                                    batch=num_batch, epoch=epoch)
-                        bad_counter = 0
-                        improved = True
-                else:
-                    bad_counter += 1
-                if cfg.ckpt_dir:
-                    if improved:
-                        save_checkpoint(
-                            f"{cfg.ckpt_dir}/best.npz", params=params,
-                            state=state, num_batch=num_batch,
-                            best_val_acc=best["acc"],
-                            best_val_loss=best["loss"])
-                    n_evals = num_batch // cfg.eval_batch
-                    if cfg.save_every and n_evals % cfg.save_every == 0:
-                        save_checkpoint(
-                            f"{cfg.ckpt_dir}/latest.npz", params=params,
-                            state=state, opt_state=opt_state,
-                            num_batch=num_batch,
-                            best_val_acc=best["acc"],
-                            best_val_loss=best["loss"])
-                if bad_counter >= cfg.patience:
-                    verbose(f"Early stop! Min loss: {best['loss']:.4f}, "
-                            f"Max accuracy: {best['acc']:.4f}, "
-                            f"num batch: {num_batch}, epoch: {epoch}")
-                    stop = True
-                    break
-            num_batch += 1
-        if stop:
-            break
-    metrics_log.log(event="train_end", num_batch=num_batch,
-                    best_val_acc=best["acc"],
-                    **timer.summary())
-    metrics_log.close()
-
-    verbose(f"Optimization finished. Best val acc {best['acc']:.4f} "
-            f"at batch {best['batch']}")
+    out = run_training_loop(
+        cfg, rng, key, params=params, state=state, opt_state=opt_state,
+        step_fn=step_fn, eval_fn=eval_fn,
+        train_positions=tk.row_positions(data.idx_train),
+        sample_positions=tk.row_positions(idx_sample),
+        train_labels_all=labels_int[data.idx_train],
+        edges_per_step=(cfg.batch_size + cfg.unlabel_batch_size) * tk.k
+        * cfg.sample,
+        verbose=verbose, batch_transform=batch_transform)
+    best = out["best"]
 
     # exact full-graph propagation test with the best weights
     with profile_trace(cfg.profile_dir):
@@ -279,10 +162,12 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
     total_time = time.time() - t_start
     verbose(f"Total time elapsed: {total_time:.4f}s")
     verbose(f"Test Accuracy {test_acc:.4f}")
+    bt = out["batch_times"]
     return TrainResult(
         test_acc=test_acc, best_val_acc=best["acc"],
-        best_val_loss=best["loss"], num_batches=num_batch,
+        best_val_loss=best["loss"], num_batches=out["num_batch"],
         total_time=total_time,
-        batch_time_avg=float(np.mean(batch_times)) if batch_times else 0.0,
+        batch_time_avg=float(np.mean(bt)) if bt else 0.0,
         preprocess_time=preprocess_time,
-        params=best["params"], state=best["state"], history=history)
+        params=best["params"], state=best["state"],
+        history=out["history"])

@@ -35,7 +35,8 @@ from grandtpu.nn.mlp import MLPConfig
 from grandtpu.nn.sparse_input import PaddedFeatures, embed_nodes
 from grandtpu.ppr import gfpush
 from grandtpu.train.step import make_optimizer
-from grandtpu.train.trainer import TrainResult, _pad_batch
+from grandtpu.train.loop import run_training_loop
+from grandtpu.train.trainer import TrainResult
 
 
 def _build_sparse_steps(mlp_cfg: MLPConfig, cfg: GrandConfig, optimizer,
@@ -167,75 +168,29 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     train_positions = tk.row_positions(data.idx_train)
     train_labels_all = labels_int[data.idx_train]
 
-    best = {"acc": 0.0, "loss": np.inf, "params": params, "state": state,
-            "batch": 0}
-    bad_counter, num_batch = 0, 0
-    batch_times, history = [], []
-    stop = False
+    def step_fn(params, state, opt_state, batch, step_key, nb):
+        params, state, opt_state, loss = train_step(
+            params, state, opt_state, attr_cols, attr_vals, tk_cols,
+            tk_vals, batch, step_key, nb)
+        return params, state, opt_state, {"loss": loss}
 
-    for epoch in range(cfg.epochs):
-        # epoch-granularity batch upload (see trainer.py): zero per-step
-        # host->device transfers
-        order_perm = rng.permutation(len(train_positions))
-        n_steps = -(-len(order_perm) // cfg.batch_size)
-        rows_np = np.empty((n_steps, cfg.batch_size
-                            + cfg.unlabel_batch_size), np.int32)
-        labels_np = np.empty((n_steps, cfg.batch_size), np.int32)
-        masks_np = np.empty((n_steps, cfg.batch_size), np.float32)
-        for i, start in enumerate(range(0, len(order_perm),
-                                        cfg.batch_size)):
-            sel = order_perm[start: start + cfg.batch_size]
-            tr_idx, label_mask = _pad_batch(sel, cfg.batch_size)
-            un_sel = rng.permutation(len(sample_positions))[
-                : cfg.unlabel_batch_size]
-            un_idx, _ = _pad_batch(un_sel, cfg.unlabel_batch_size)
-            rows_np[i] = np.concatenate([train_positions[tr_idx],
-                                         sample_positions[un_idx]])
-            labels_np[i] = train_labels_all[tr_idx]
-            masks_np[i] = label_mask
-        rows_e = jnp.asarray(rows_np)
-        labels_e = jnp.asarray(labels_np)
-        masks_e = jnp.asarray(masks_np)
-        key, sub = jax.random.split(key)
-        keys_e = jax.random.split(sub, n_steps)
-        nb_e = jnp.arange(num_batch, num_batch + n_steps,
-                          dtype=jnp.float32)
+    def eval_fn(params, state):
+        return eval_step(params, state, attr_cols, attr_vals, tk_cols,
+                         tk_vals, val_rows, val_labels, val_mask)
 
-        for i in range(n_steps):
-            bt0 = time.time()
-            batch = {"rows": rows_e[i], "labels": labels_e[i],
-                     "label_mask": masks_e[i]}
-            params, state, opt_state, loss = train_step(
-                params, state, opt_state, attr_cols, attr_vals, tk_cols,
-                tk_vals, batch, keys_e[i], nb_e[i])
-            batch_times.append(time.time() - bt0)
-
-            if num_batch % cfg.eval_batch == 0:
-                val_loss, val_acc = eval_step(
-                    params, state, attr_cols, attr_vals, tk_cols, tk_vals,
-                    val_rows, val_labels, val_mask)
-                val_loss, val_acc = float(val_loss), float(val_acc)
-                history.append({"batch": num_batch, "val_loss": val_loss,
-                                "val_acc": val_acc, "loss": float(loss)})
-                verbose(f"epoch {epoch}, batch {num_batch}, "
-                        f"val loss {val_loss:.4f}, val acc {val_acc:.4f}")
-                if val_acc >= best["acc"]:
-                    if cfg.stop_mode == "acc" or (
-                            cfg.stop_mode == "both"
-                            and val_loss <= best["loss"]):
-                        best.update(acc=val_acc, loss=val_loss,
-                                    params=params, state=state,
-                                    batch=num_batch)
-                        bad_counter = 0
-                else:
-                    bad_counter += 1
-                if bad_counter >= cfg.patience:
-                    verbose(f"Early stop at batch {num_batch}")
-                    stop = True
-                    break
-            num_batch += 1
-        if stop:
-            break
+    out = run_training_loop(
+        cfg, rng, key, params=params, state=state, opt_state=opt_state,
+        step_fn=step_fn, eval_fn=eval_fn,
+        train_positions=train_positions,
+        sample_positions=sample_positions,
+        train_labels_all=train_labels_all,
+        edges_per_step=(cfg.batch_size + cfg.unlabel_batch_size) * tk.k
+        * cfg.sample,
+        verbose=verbose)
+    best = out["best"]
+    num_batch = out["num_batch"]
+    batch_times = out["batch_times"]
+    history = out["history"]
 
     # predict: all-node embeddings -> propagate in embedding space -> head
     from grandtpu.infer.classify import predict_logits_sparse
