@@ -59,7 +59,15 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
             num_batch = int(meta["num_batch"])
             best["acc"] = float(meta["best_val_acc"])
             best["loss"] = float(meta["best_val_loss"])
-            best["params"], best["state"] = params, state
+            # the best weights live in best.npz, NOT in latest.npz — a
+            # resumed run that never improves must still test with them
+            try:
+                bp, bs, _, _ = load_checkpoint(
+                    f"{cfg.ckpt_dir}/best.npz", params_template=params,
+                    state_template=state)
+                best["params"], best["state"] = bp, bs
+            except FileNotFoundError:
+                best["params"], best["state"] = params, state
             verbose(f"resumed from {latest} at batch {num_batch}")
         except FileNotFoundError:
             verbose(f"no checkpoint at {latest}; starting fresh")

@@ -41,3 +41,48 @@ def test_fresh_run_without_ckpt_dir(tmp_path):
     r = train(_cfg(tmp_path, ckpt_dir=None, save_every=0,
                    metrics_path=None, resume=True))
     assert r.num_batches > 0
+
+
+def test_resume_restores_best_weights(tmp_path):
+    """A resumed run that never improves must still test with the weights
+    from best.npz, not the latest full-state checkpoint (regression: found
+    by the 2M-node soak — resume seeded `best` from latest.npz)."""
+    import jax
+    import jax.numpy as jnp
+    from grandtpu.nn.mlp import MLPConfig, init_mlp
+    from grandtpu.train.checkpoint import save_checkpoint
+    from grandtpu.train.loop import run_training_loop
+    from grandtpu.config import GrandConfig
+
+    cfgm = MLPConfig(num_features=4, num_classes=2, hidden=4, nlayers=2)
+    best_params, best_state = init_mlp(jax.random.PRNGKey(1), cfgm)
+    latest_params, latest_state = init_mlp(jax.random.PRNGKey(2), cfgm)
+    ck = tmp_path / "ck"
+    save_checkpoint(str(ck / "best.npz"), params=best_params,
+                    state=best_state, num_batch=5, best_val_acc=0.9)
+    save_checkpoint(str(ck / "latest.npz"), params=latest_params,
+                    state=latest_state, num_batch=7, best_val_acc=0.9,
+                    best_val_loss=0.1)
+
+    cfg = GrandConfig(epochs=1, batch_size=4, unlabel_batch_size=4,
+                      eval_batch=1, patience=1, ckpt_dir=str(ck),
+                      resume=True, stop_mode="acc")
+    calls = {"n": 0}
+
+    def step_fn(p, s, o, batch, k, nb):
+        calls["n"] += 1
+        return p, s, o, {"loss": jnp.float32(1.0)}
+
+    def eval_fn(p, s):
+        return 1.0, 0.1   # never improves on the restored 0.9
+
+    out = run_training_loop(
+        cfg, np.random.RandomState(0), jax.random.PRNGKey(0),
+        params=latest_params, state=latest_state, opt_state=None,
+        step_fn=step_fn, eval_fn=eval_fn,
+        train_positions=np.arange(8), sample_positions=np.arange(8),
+        train_labels_all=np.zeros(8, np.int32), edges_per_step=1,
+        verbose=lambda *a: None)
+    got = np.asarray(out["best"]["params"]["fcs"][0]["w"])
+    want = np.asarray(best_params["fcs"][0]["w"])
+    np.testing.assert_array_equal(got, want)
