@@ -41,22 +41,30 @@ def bench_tpu_spmm(prop, feats, order=5, alpha=0.2, repeats=5, fast=True):
 
     feats = jnp.asarray(feats)   # device-resident: the tunnel to the chip
     jax.block_until_ready(feats)  # makes per-call host uploads dominate
+
+    def sync(o):
+        # block_until_ready alone can return early through the axon tunnel
+        # (observed on f32 executables); a scalar fetch cannot
+        jax.block_until_ready(o)
+        return float(jnp.sum(o[:1, :1]))
+
     label = "bf16-block" if fast else "f32-block"
     t0 = time.time()
     out = prop(feats, mode="ppr", order=order, alpha=alpha, fast=fast)
-    jax.block_until_ready(out)
+    sync(out)
     log(f"tpu {label} compile+first run: {time.time() - t0:.1f}s on "
         f"{jax.devices()[0]}")
 
-    times = []
+    # dispatch all repeats, sync once: the chip runs launches in order on
+    # one stream, so one end-of-batch sync amortizes the ~25ms tunnel
+    # round-trip instead of paying it per call
+    t0 = time.time()
     for _ in range(repeats):
-        t0 = time.time()
         out = prop(feats, mode="ppr", order=order, alpha=alpha, fast=fast)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    best = min(times)
-    edges_per_s = prop.nnz * order / best
-    log(f"tpu spmm {label}: best {best:.3f}s over {repeats} -> "
+    sync(out)
+    per_call = (time.time() - t0) / repeats
+    edges_per_s = prop.nnz * order / per_call
+    log(f"tpu spmm {label}: {per_call:.3f}s/call over {repeats} -> "
         f"{edges_per_s:.3e} edges/s")
     return edges_per_s, np.asarray(out)
 

@@ -12,10 +12,10 @@ iteration is one jitted ``lax.fori_loop`` on device with one of three
 matrix-apply backends:
 
 - 'dense'   dense MXU matmul — fastest whenever n^2 fits (small graphs)
-- 'block'   BlockCSR one-hot-matmul SpMM — scatter-free, ~2.3x XLA's fused
-            segment_sum (the large-graph default)
-- 'segment' padded-edge scatter-add scan — lowest memory, the fallback when
-            block padding overhead blows up (extremely skewed graphs)
+- 'block'   SplitCSR one-hot-matmul SpMM — scatter-free, ~6x the scatter
+            path (the large-graph default); skewed graphs spill hub-block
+            overflow into offset levels instead of inflating padding
+- 'segment' padded-edge scatter-add scan — lowest memory, explicit opt-in
 
 Zero-degree rows use the same 1e-12 clamp as the reference
 (``model.py:190,198``).
@@ -30,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from grandtpu.sparse.spmm import (BlockCSR, PaddedCSR, spmm_block,
-                                  spmm_segment)
+from grandtpu.sparse.spmm import (PaddedCSR, SplitCSR, spmm_segment,
+                                  spmm_split)
 
 
 @functools.partial(jax.jit,
@@ -45,7 +45,7 @@ def _propagate_device(adj_op, x, *, mode: str, order: int,
             return jnp.dot(adj_op, v, preferred_element_type=jnp.float32)
         if backend == "block":
             # v is block-padded; keep it padded through the loop
-            return spmm_block(adj_op, v, fast=fast, trim=False)
+            return spmm_split(adj_op, v, fast=fast, trim=False)
         return spmm_segment(adj_op, v)
 
     n = x.shape[0]
@@ -96,12 +96,10 @@ class Propagator:
         if backend == "dense":
             self.adj_op = jnp.asarray(np.asarray(a_norm.todense()), dtype)
         elif backend == "block":
-            bcsr = BlockCSR.from_scipy(a_norm)
-            if bcsr.pad_overhead > 2.0:
-                backend = "segment"
-                self.adj_op = PaddedCSR.from_scipy(a_norm)
-            else:
-                self.adj_op = bcsr
+            # SplitCSR bounds padding on skewed (power-law) graphs by
+            # spilling hub-block overflow to offset levels — no more
+            # falling back to the ~6x-slower scatter path
+            self.adj_op = SplitCSR.from_scipy(a_norm)
         else:
             self.adj_op = PaddedCSR.from_scipy(a_norm)
         self.backend = backend

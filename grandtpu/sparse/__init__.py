@@ -10,6 +10,12 @@
 
 from grandtpu.sparse.topk import TopKProp  # noqa: F401
 from grandtpu.sparse.spmm import (  # noqa: F401
+    BlockCSR,
+    OffsetBlockCSR,
     PaddedCSR,
+    SplitCSR,
+    spmm_block,
+    spmm_block_offset,
     spmm_segment,
+    spmm_split,
 )

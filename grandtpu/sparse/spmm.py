@@ -211,6 +211,232 @@ def spmm_block(bcsr: BlockCSR, x: jnp.ndarray, fast: bool = True,
     return out[:n] if trim else out
 
 
+@dataclasses.dataclass(frozen=True)
+class OffsetBlockCSR:
+    """BlockCSR variant for sparse *block* coverage: only non-empty row
+    blocks are materialized, each tagged with its output row offset.
+
+    The apply accumulates each block's [R, F] one-hot-matmul product into a
+    caller-provided accumulator with a dynamic-slice read-modify-write —
+    scan steps are sequential, so overlapping row ranges are race-free.
+    Used for the overflow levels of SplitCSR, where most blocks have no
+    spilled edges (a handful of hub rows hold the tail of a power-law
+    degree distribution).
+    """
+
+    cols: jnp.ndarray     # int32 [nb, E_b] global col ids (pad 0)
+    vals: jnp.ndarray     # float32 [nb, E_b] (pad 0)
+    lrow: jnp.ndarray     # int32 [nb, E_b] local row in [0,R] (pad R)
+    row0: jnp.ndarray     # int32 [nb] output row offset of each block
+    rows_per_block: int
+
+
+jax.tree_util.register_pytree_node(
+    OffsetBlockCSR,
+    lambda p: ((p.cols, p.vals, p.lrow, p.row0), (p.rows_per_block,)),
+    lambda aux, ch: OffsetBlockCSR(*ch, rows_per_block=aux[0]),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("fast", "unroll"))
+def spmm_block_offset(ob: OffsetBlockCSR, x: jnp.ndarray, acc: jnp.ndarray,
+                      fast: bool = True, unroll: int = 2) -> jnp.ndarray:
+    """acc += A_overflow @ x for an OffsetBlockCSR; acc is [n_pad, F] with
+    n_pad ≥ max(row0) + R (guaranteed when row0 are block-aligned offsets
+    of the same padded row space)."""
+    r = ob.rows_per_block
+    f = x.shape[1]
+    iota = jnp.arange(r, dtype=jnp.int32)[:, None]
+    mm_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = None if fast else jax.lax.Precision.HIGHEST
+
+    def step(acc, blk):
+        c, v, lr, r0 = blk
+        feats = (jnp.take(x, c, axis=0) * v[:, None]).astype(mm_dtype)
+        onehot = (lr[None, :] == iota).astype(mm_dtype)
+        out = jnp.dot(onehot, feats, preferred_element_type=jnp.float32,
+                      precision=prec)
+        slab = jax.lax.dynamic_slice(acc, (r0, 0), (r, f))
+        acc = jax.lax.dynamic_update_slice(acc, slab + out.astype(acc.dtype),
+                                           (r0, 0))
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (ob.cols, ob.vals, ob.lrow, ob.row0),
+                          unroll=min(unroll, ob.row0.shape[0]))
+    return acc
+
+
+@dataclasses.dataclass(frozen=True)
+class SplitCSR:
+    """Skew-robust SpMM operator: BlockCSR base + overflow levels.
+
+    For power-law graphs a plain BlockCSR pads every row block to the
+    HOTTEST block's edge count — a few hub rows can inflate padding by an
+    order of magnitude (the old fallback was the 6x-slower scatter path).
+    Instead, the base level caps E_b; each block's edges beyond the cap
+    spill into ONE chunked overflow level (OffsetBlockCSR) whose chunks may
+    share the same output offset — the read-modify-write accumulate lets a
+    single hub block span many chunks, so arbitrarily heavy rows cost only
+    one chunk-tail of padding. Base cap and chunk size are chosen by exact
+    slot-count minimization over candidate quantiles (slots ≈ gathered rows
+    ≈ time: the row gather is the measured bottleneck). Both levels ride
+    the same one-hot-matmul kernel; outputs sum in the shared padded row
+    space: y = spmm_block(base) + spmm_block_offset(overflow).
+    """
+
+    base: BlockCSR
+    levels: tuple      # of OffsetBlockCSR
+    num_nodes: int
+
+    @property
+    def rows_per_block(self) -> int:
+        return self.base.rows_per_block
+
+    @property
+    def num_blocks(self) -> int:
+        return self.base.num_blocks
+
+    @property
+    def pad_overhead(self) -> float:
+        slots = self.base.cols.size + sum(l.cols.size for l in self.levels)
+        nnz = float((np.asarray(self.base.vals) != 0).sum()) + sum(
+            float((np.asarray(l.vals) != 0).sum()) for l in self.levels)
+        return slots / max(nnz, 1.0)
+
+    @staticmethod
+    def from_scipy(adj: sp.spmatrix, rows_per_block: int = 512,
+                   pad_multiple: int = 512,
+                   max_eb: int = 23 * 512) -> "SplitCSR":
+        """max_eb caps the per-block edge capacity of both levels: beyond
+        ~12K slots the [E_b, F] gather buffer spills VMEM (measured on v5e
+        at F=128); dense high-degree graphs then stream through overflow
+        chunks instead of one giant block."""
+        adj = adj.tocsr()
+        n = adj.shape[0]
+        r = rows_per_block
+        nb = -(-n // r)
+        indptr = adj.indptr.astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        cols = adj.indices.astype(np.int32)
+        vals = adj.data.astype(np.float32)
+        block = rows // r
+        counts = np.bincount(block, minlength=nb)
+
+        def odd_eb(count):
+            mult = max(-(-int(count) // pad_multiple), 1)
+            return (mult + 1 - mult % 2) * pad_multiple
+
+        cap_hi = odd_eb(max_eb) if odd_eb(max_eb) <= max_eb else \
+            odd_eb(max_eb) - 2 * pad_multiple
+        cap_hi = max(cap_hi, pad_multiple)
+
+        def chunk_slots(spill, eb):
+            """total slots of the overflow level at chunk size eb"""
+            return int((-(-spill // eb)).sum()) * eb
+
+        # choose (base cap, overflow chunk size) minimizing total gathered
+        # slots over candidate quantiles of the per-block counts
+        qs = [0.5, 0.75, 0.9, 0.95, 0.99, 1.0]
+        cand_caps = sorted({min(odd_eb(max(q, 1)), cap_hi)
+                            for q in np.quantile(counts, qs)}) \
+            if rows.size else [pad_multiple]
+        best = None          # (cost, cap, eb_ovf or None)
+        for cap in cand_caps:
+            spill = np.maximum(counts - cap, 0)
+            cost = nb * cap
+            if spill.sum() == 0:
+                cand = (cost, cap, None)
+            else:
+                nzs = spill[spill > 0]
+                ebs = {min(odd_eb(max(q, 1)), cap_hi)
+                       for q in np.quantile(nzs, [0.5, 0.9, 1.0])}
+                slots, eb_ovf = min((chunk_slots(nzs, e), e) for e in ebs)
+                cand = (cost + slots, cap, eb_ovf)
+            if best is None or cand[0] < best[0]:
+                best = cand
+        # prefer a spill-free layout when it is within 15% of optimal
+        # (an overflow level costs an extra scan + RMW pass)
+        for cap in cand_caps:
+            if (counts <= cap).all() and nb * cap <= 1.15 * best[0]:
+                best = (nb * cap, cap, None)
+                break
+        _, cap, eb_ovf = best
+
+        starts = np.zeros(nb + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slots = np.arange(rows.size, dtype=np.int64) - starts[block]
+        take = slots < cap
+        base = _fill_blocks_dense(rows[take], cols[take], vals[take],
+                                  slots[take], n, nb, r, cap)
+        levels = ()
+        if eb_ovf is not None and (~take).any():
+            levels = (_fill_blocks_chunked(rows[~take], cols[~take],
+                                           vals[~take], r, eb_ovf),)
+        return SplitCSR(base, levels, n)
+
+
+def _fill_blocks_dense(rows, cols, vals, slots, n, nb, r, eb) -> BlockCSR:
+    """Materialize ALL nb row blocks (slots already local to each block)."""
+    block = rows // r
+    flat = block * eb + slots
+    c = np.zeros(nb * eb, np.int32)
+    v = np.zeros(nb * eb, np.float32)
+    lr = np.full(nb * eb, r, np.int32)
+    c[flat] = cols
+    v[flat] = vals
+    lr[flat] = (rows - block * r).astype(np.int32)
+    return BlockCSR(jnp.asarray(c.reshape(nb, eb)),
+                    jnp.asarray(v.reshape(nb, eb)),
+                    jnp.asarray(lr.reshape(nb, eb)), n, r)
+
+
+def _fill_blocks_chunked(rows, cols, vals, r, eb) -> OffsetBlockCSR:
+    """Materialize overflow edges as eb-sized chunks; a row block heavier
+    than eb spans several chunks sharing the same row0 (the sequential
+    RMW accumulate in spmm_block_offset sums them). Only the final chunk
+    of each block carries padding."""
+    block = rows // r
+    uniq, inv = np.unique(block, return_inverse=True)
+    ng = uniq.shape[0]
+    counts = np.bincount(inv, minlength=ng)
+    starts = np.zeros(ng + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    local = np.arange(rows.size, dtype=np.int64) - starts[inv]
+    chunks_per = -(-counts // eb)
+    chunk_base = np.zeros(ng + 1, np.int64)
+    np.cumsum(chunks_per, out=chunk_base[1:])
+    chunk_id = chunk_base[inv] + local // eb
+    nc = int(chunk_base[-1])
+    flat = chunk_id * eb + local % eb
+    c = np.zeros(nc * eb, np.int32)
+    v = np.zeros(nc * eb, np.float32)
+    lr = np.full(nc * eb, r, np.int32)
+    c[flat] = cols
+    v[flat] = vals
+    lr[flat] = (rows - block * r).astype(np.int32)
+    row0 = np.repeat(uniq * r, chunks_per).astype(np.int32)
+    return OffsetBlockCSR(jnp.asarray(c.reshape(nc, eb)),
+                          jnp.asarray(v.reshape(nc, eb)),
+                          jnp.asarray(lr.reshape(nc, eb)),
+                          jnp.asarray(row0), r)
+
+
+jax.tree_util.register_pytree_node(
+    SplitCSR,
+    lambda p: ((p.base, p.levels), (p.num_nodes,)),
+    lambda aux, ch: SplitCSR(ch[0], ch[1], num_nodes=aux[0]),
+)
+
+
+def spmm_split(scsr: SplitCSR, x: jnp.ndarray, fast: bool = True,
+               trim: bool = True) -> jnp.ndarray:
+    """y = A @ x for a SplitCSR (base + overflow levels, summed)."""
+    out = spmm_block(scsr.base, x, fast=fast, trim=False)
+    for lvl in scsr.levels:
+        out = spmm_block_offset(lvl, x, out, fast=fast)
+    return out[:scsr.num_nodes] if trim else out
+
+
 def normalized_dense_adj(adj: sp.spmatrix, dtype=jnp.float32) -> jnp.ndarray:
     """D^-1 A as a dense device array (MXU path; D = row sums of A)."""
     deg = np.asarray(adj.sum(1)).flatten()

@@ -74,3 +74,113 @@ def test_block_handles_empty_rows():
     bcsr = BlockCSR.from_scipy(adj, rows_per_block=4, pad_multiple=8)
     got = spmm_block(bcsr, jnp.asarray(x), fast=False)
     np.testing.assert_allclose(np.asarray(got), adj.dot(x), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def skewed_adj_x():
+    """Power-law-ish graph: two hub rows with ~1/3 of all edges each plus a
+    light uniform background — the regime where plain BlockCSR padding
+    explodes (every block pads to the hub block's edge count)."""
+    import scipy.sparse as sp
+    rs = np.random.RandomState(3)
+    n = 600
+    rows = [np.full(400, 7), np.full(400, 310),
+            rs.randint(0, n, 800)]
+    cols = [rs.randint(0, n, 400), rs.randint(0, n, 400),
+            rs.randint(0, n, 800)]
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    adj = sp.coo_matrix((rs.rand(r.size).astype(np.float32), (r, c)),
+                        shape=(n, n)).tocsr()
+    adj.sum_duplicates()
+    x = rs.randn(n, 16).astype(np.float32)
+    return adj, x
+
+
+def test_split_multi_level_matches_scipy(skewed_adj_x):
+    from grandtpu.sparse.spmm import SplitCSR, spmm_split
+    adj, x = skewed_adj_x
+    scsr = SplitCSR.from_scipy(adj, rows_per_block=64, pad_multiple=64)
+    assert len(scsr.levels) >= 1, "hub rows must spill to overflow levels"
+    got = spmm_split(scsr, jnp.asarray(x), fast=False)
+    np.testing.assert_allclose(np.asarray(got), adj.dot(x), atol=1e-4)
+
+
+def test_split_bounds_padding_on_skew(skewed_adj_x):
+    from grandtpu.sparse.spmm import SplitCSR
+    adj, _ = skewed_adj_x
+    bcsr = BlockCSR.from_scipy(adj, rows_per_block=64, pad_multiple=64)
+    scsr = SplitCSR.from_scipy(adj, rows_per_block=64, pad_multiple=64)
+    assert scsr.pad_overhead < bcsr.pad_overhead * 0.75
+    assert scsr.pad_overhead < 2.5
+
+
+def test_split_degenerates_to_single_level_when_uniform(adj_x):
+    from grandtpu.sparse.spmm import SplitCSR, spmm_split
+    adj, x = adj_x
+    scsr = SplitCSR.from_scipy(adj, rows_per_block=64, pad_multiple=128)
+    assert scsr.levels == ()
+    got = spmm_split(scsr, jnp.asarray(x), fast=False)
+    np.testing.assert_allclose(np.asarray(got), adj.dot(x), atol=1e-4)
+
+
+def test_split_fast_within_bf16_tolerance(skewed_adj_x):
+    from grandtpu.sparse.spmm import SplitCSR, spmm_split
+    adj, x = skewed_adj_x
+    scsr = SplitCSR.from_scipy(adj, rows_per_block=64, pad_multiple=64)
+    got = np.asarray(spmm_split(scsr, jnp.asarray(x), fast=True))
+    want = adj.dot(x)
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.max(np.abs(got - want)) / scale < 5e-3
+
+
+def test_split_empty_graph():
+    import scipy.sparse as sp
+    from grandtpu.sparse.spmm import SplitCSR, spmm_split
+    adj = sp.csr_matrix((12, 12), dtype=np.float32)
+    x = np.random.RandomState(0).randn(12, 4).astype(np.float32)
+    scsr = SplitCSR.from_scipy(adj, rows_per_block=4, pad_multiple=8)
+    got = spmm_split(scsr, jnp.asarray(x), fast=False)
+    np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-7)
+
+
+def test_propagator_block_backend_on_skewed_graph(skewed_adj_x):
+    import scipy.sparse as sp
+    from grandtpu.infer import Propagator
+    adj, x = skewed_adj_x
+    adj = (adj + sp.eye(adj.shape[0], format="csr")).tocsr()
+    prop = Propagator(adj, backend="block")
+    got = np.asarray(prop(x, mode="ppr", order=4, alpha=0.3, fast=False))
+    # host reference loop (model.py:186-194 semantics)
+    deg = np.asarray(adj.sum(1)).flatten()
+    dia = (0.7 / np.maximum(deg, 1e-12)).astype(np.float32)
+    cur = 0.3 * x
+    want = cur.copy()
+    for _ in range(4):
+        cur = dia[:, None] * adj.dot(cur)
+        want += cur
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_split_mega_hub_spans_multiple_chunks():
+    """A single row heavier than max_eb must split across several overflow
+    chunks sharing one output offset; the sequential RMW accumulate in
+    spmm_block_offset sums them."""
+    import scipy.sparse as sp
+    from grandtpu.sparse.spmm import SplitCSR, spmm_split
+    rs = np.random.RandomState(7)
+    n = 1200
+    hub_cols = rs.choice(n, 1000, replace=False)
+    r = np.concatenate([np.full(1000, 77), rs.randint(0, n, 600)])
+    c = np.concatenate([hub_cols, rs.randint(0, n, 600)])
+    adj = sp.coo_matrix((rs.rand(r.size).astype(np.float32), (r, c)),
+                        shape=(n, n)).tocsr()
+    adj.sum_duplicates()
+    x = rs.randn(n, 8).astype(np.float32)
+    scsr = SplitCSR.from_scipy(adj, rows_per_block=64, pad_multiple=64,
+                               max_eb=128)
+    assert len(scsr.levels) == 1
+    row0 = np.asarray(scsr.levels[0].row0)
+    assert (row0 == (77 // 64) * 64).sum() >= 2, "hub must span >= 2 chunks"
+    got = spmm_split(scsr, jnp.asarray(x), fast=False)
+    np.testing.assert_allclose(np.asarray(got), adj.dot(x), atol=1e-4)
