@@ -64,13 +64,15 @@ def bench_train_step(name: str, steps: int = 50):
     params, state, opt_state, m = step(params, state, opt_state, features,
                                        tk_cols, tk_vals, batch, key,
                                        jnp.float32(0))
-    jax.block_until_ready(m["loss"])
+    # scalar fetch, not block_until_ready: the latter can return early
+    # through the axon tunnel (see RESULTS.md timing note)
+    float(np.asarray(m["loss"]))
     t0 = time.time()
     for i in range(steps):
         params, state, opt_state, m = step(
             params, state, opt_state, features, tk_cols, tk_vals, batch,
             key, jnp.float32(i))
-    jax.block_until_ready(m["loss"])
+    float(np.asarray(m["loss"]))    # steps chain on params: syncs them all
     dt = (time.time() - t0) / steps
     edges = (bs + ub) * ktop * step_cfg.k_aug
     out = {"metric": f"train_step_{name}", "value": 1.0 / dt,

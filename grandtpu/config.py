@@ -72,6 +72,14 @@ class GrandConfig:
     sparse_features: bool = False  # MAG-style embedding input path
     push_backend: str = "auto"     # 'auto' | 'native' | 'jax' | 'numpy'
     pallas_dropnode: bool = False  # fused Pallas DropNode kernel (TPU only)
+    scan_steps: bool = False       # roll steps between evals into one
+    #                                lax.scan dispatch. Opt-in: per-step
+    #                                dispatch is async and already overlaps
+    #                                device compute, so this only pays for
+    #                                sub-ms steps over runs long enough to
+    #                                amortize ~15-20s of extra compiles
+    #                                (>~20K steps); measured NET LOSS on
+    #                                typical early-stopped runs (loop.py)
 
     # distribution (no reference equivalent; reference is single-process)
     num_devices: int = 1           # data-parallel replication of the step

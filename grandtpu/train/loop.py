@@ -23,6 +23,60 @@ from grandtpu.config import GrandConfig
 from grandtpu.observe import MetricsLogger, StepTimer
 from grandtpu.train.checkpoint import load_checkpoint, save_checkpoint
 
+# scan a group length only after this many occurrences, and compile at
+# most MAX_SCAN_SIZES distinct lengths (each is a separate ~15-20s XLA
+# compile through the remote-compile tunnel; per-step dispatch is async
+# and already overlaps device compute, so scanning only pays for small
+# steps and dominant recurring sizes — see _build_multi_step)
+SCAN_COMPILE_THRESHOLD = 3
+MAX_SCAN_SIZES = 2
+
+
+def _plan_groups(nb0: int, n_steps: int, eval_batch: int):
+    """Split an epoch's steps into scan groups that END exactly at the
+    eval boundaries (num_batch % eval_batch == 0) or at the epoch end, so
+    grouped execution hits the identical eval/early-stop schedule as
+    per-step execution. Returns [(epoch-local start, length, eval_after)].
+    """
+    groups = []
+    i = 0
+    while i < n_steps:
+        nb = nb0 + i
+        nxt = nb if nb % eval_batch == 0 else \
+            nb + (eval_batch - nb % eval_batch)
+        k = min(nxt - nb + 1, n_steps - i)
+        groups.append((i, k, nb + k - 1 == nxt))
+        i += k
+    return groups
+
+
+def _build_multi_step(step_fn):
+    """Roll K consecutive train steps into one device dispatch via
+    lax.scan. Per-call SYNCHRONOUS dispatch costs ~1.4ms/step while the
+    small-model device step is ~0.5ms (measured, v5e) — but the per-step
+    loop dispatches asynchronously and overlaps the device, so in practice
+    scanning only wins on sub-ms steps over runs long enough to amortize
+    one ~15-20s remote compile per distinct group length (>~20K steps).
+    Hence opt-in via cfg.scan_steps; measured NET LOSS on typical
+    early-stopped runs (aminer-like 30 epochs: 47s vs 20s).
+
+    The engine's large device operands (feature matrix, top-k tables) MUST
+    arrive via *operands, not a closure: closure capture bakes them into
+    the jaxpr as constants, which blows up the serialized compile payload
+    (the axon remote-compile endpoint rejects >some-100MB with HTTP 413).
+    """
+    @jax.jit
+    def multi(params, state, opt_state, batches, keys, nbs, *operands):
+        def body(carry, xs):
+            p, s, o = carry
+            b, k, nb = xs
+            p, s, o, m = step_fn(p, s, o, b, k, nb, *operands)
+            return (p, s, o), m
+        (params, state, opt_state), ms = jax.lax.scan(
+            body, (params, state, opt_state), (batches, keys, nbs))
+        return params, state, opt_state, ms
+    return multi
+
 
 def pad_batch(idx: np.ndarray, size: int):
     """Pad a partial batch by wrapping its own rows; mask marks real rows."""
@@ -37,9 +91,14 @@ def pad_batch(idx: np.ndarray, size: int):
 def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                       opt_state, step_fn, eval_fn, train_positions,
                       sample_positions, train_labels_all, edges_per_step,
-                      verbose, batch_transform=None):
+                      verbose, batch_transform=None, step_operands=()):
     """Run the full early-stopped training. Returns a dict with best state,
-    final params/state/opt_state, counters, batch_times, history."""
+    final params/state/opt_state, counters, batch_times, history.
+
+    step_fn(params, state, opt_state, batch, key, nb, *step_operands) —
+    the engine's device-resident tensors travel as explicit operands so
+    scan-rolled dispatch can pass them as jit arguments (see
+    _build_multi_step)."""
     best = {"acc": 0.0, "loss": np.inf, "params": params, "state": state,
             "batch": 0, "epoch": 0}
     bad_counter = 0
@@ -72,6 +131,15 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
         except FileNotFoundError:
             verbose(f"no checkpoint at {latest}; starting fresh")
 
+    multi_step = (_build_multi_step(step_fn)
+                  if cfg.scan_steps and batch_transform is None else None)
+    # each distinct group length is a separate XLA compile (~20s through
+    # the remote-compile tunnel): only scan a length once it has recurred
+    # enough to amortize, cap the number of compiled lengths, and run
+    # everything else per-step
+    scan_seen: dict[int, int] = {}
+    scan_sizes: set[int] = set()
+
     for epoch in range(cfg.epochs):
         # assemble the WHOLE epoch's batches host-side and upload once:
         # per-step host->device transfers cost a round trip each, dwarfing
@@ -101,21 +169,41 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
         keys_e = jax.random.split(sub, n_steps)
         nb_e = jnp.arange(num_batch, num_batch + n_steps, dtype=jnp.float32)
 
-        for i in range(n_steps):
+        for i0, k, eval_after in _plan_groups(num_batch, n_steps,
+                                              cfg.eval_batch):
             bt0 = time.time()
-            batch = {"rows": rows_e[i], "labels": labels_e[i],
-                     "label_mask": masks_e[i]}
-            if batch_transform is not None:
-                batch = batch_transform(batch)
-            with timer:
-                params, state, opt_state, metrics = step_fn(
-                    params, state, opt_state, batch, keys_e[i], nb_e[i])
-            batch_times.append(time.time() - bt0)
+            scan_seen[k] = scan_seen.get(k, 0) + 1
+            if (k > 1 and k not in scan_sizes
+                    and len(scan_sizes) < MAX_SCAN_SIZES
+                    and scan_seen[k] >= SCAN_COMPILE_THRESHOLD):
+                scan_sizes.add(k)
+            if multi_step is not None and k in scan_sizes:
+                params, state, opt_state, ms = multi_step(
+                    params, state, opt_state,
+                    {"rows": rows_e[i0: i0 + k],
+                     "labels": labels_e[i0: i0 + k],
+                     "label_mask": masks_e[i0: i0 + k]},
+                    keys_e[i0: i0 + k], nb_e[i0: i0 + k], *step_operands)
+                last_loss = ms["loss"][-1]
+            else:
+                for i in range(i0, i0 + k):
+                    batch = {"rows": rows_e[i], "labels": labels_e[i],
+                             "label_mask": masks_e[i]}
+                    if batch_transform is not None:
+                        batch = batch_transform(batch)
+                    params, state, opt_state, metrics = step_fn(
+                        params, state, opt_state, batch, keys_e[i],
+                        nb_e[i], *step_operands)
+                last_loss = metrics["loss"]
+            dt = (time.time() - bt0) / k
+            batch_times.extend([dt] * k)
+            timer.times.extend([dt] * k)
+            num_batch += k - 1    # num_batch = global index of last step
 
-            if num_batch % cfg.eval_batch == 0:
+            if eval_after and num_batch % cfg.eval_batch == 0:
                 val_loss, val_acc = eval_fn(params, state)
                 val_loss, val_acc = float(val_loss), float(val_acc)
-                train_loss = float(metrics["loss"])
+                train_loss = float(last_loss)
                 history.append({"batch": num_batch, "val_loss": val_loss,
                                 "val_acc": val_acc, "loss": train_loss})
                 metrics_log.log(batch=num_batch, epoch=epoch,
@@ -158,8 +246,9 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                             f"Max accuracy: {best['acc']:.4f}, "
                             f"num batch: {num_batch}, epoch: {epoch}")
                     stop = True
-                    break
             num_batch += 1
+            if stop:
+                break
         if stop:
             break
     metrics_log.log(event="train_end", num_batch=num_batch,

@@ -128,7 +128,8 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
     val_labels = jnp.asarray(labels_int[data.idx_val])
     val_mask = jnp.ones(len(data.idx_val), jnp.float32)
 
-    def step_fn(params, state, opt_state, batch, step_key, nb):
+    def step_fn(params, state, opt_state, batch, step_key, nb,
+                features, tk_cols, tk_vals):
         return train_step(params, state, opt_state, features, tk_cols,
                           tk_vals, batch, step_key, nb)
 
@@ -149,7 +150,8 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
         train_labels_all=labels_int[data.idx_train],
         edges_per_step=(cfg.batch_size + cfg.unlabel_batch_size) * tk.k
         * cfg.sample,
-        verbose=verbose, batch_transform=batch_transform)
+        verbose=verbose, batch_transform=batch_transform,
+        step_operands=(features, tk_cols, tk_vals))
     best = out["best"]
 
     # exact full-graph propagation test with the best weights

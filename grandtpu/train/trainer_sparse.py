@@ -168,7 +168,8 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     train_positions = tk.row_positions(data.idx_train)
     train_labels_all = labels_int[data.idx_train]
 
-    def step_fn(params, state, opt_state, batch, step_key, nb):
+    def step_fn(params, state, opt_state, batch, step_key, nb,
+                attr_cols, attr_vals, tk_cols, tk_vals):
         params, state, opt_state, loss = train_step(
             params, state, opt_state, attr_cols, attr_vals, tk_cols,
             tk_vals, batch, step_key, nb)
@@ -186,7 +187,8 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
         train_labels_all=train_labels_all,
         edges_per_step=(cfg.batch_size + cfg.unlabel_batch_size) * tk.k
         * cfg.sample,
-        verbose=verbose)
+        verbose=verbose,
+        step_operands=(attr_cols, attr_vals, tk_cols, tk_vals))
     best = out["best"]
     num_batch = out["num_batch"]
     batch_times = out["batch_times"]

@@ -107,3 +107,16 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_steps_matches_per_step_trajectory():
+    """Grouped lax.scan stepping must follow the exact same training
+    trajectory (same per-step keys, eval schedule, early stop) as the
+    per-call path."""
+    from grandtpu.config import preset
+    from grandtpu.train import train
+    cfg = preset("cora").replace(epochs=12, patience=4)
+    r1 = train(cfg.replace(scan_steps=True))
+    r2 = train(cfg.replace(scan_steps=False))
+    assert r1.test_acc == r2.test_acc
+    assert r1.num_batches == r2.num_batches
