@@ -1,5 +1,5 @@
 """Halo-compressed row-partitioned propagation: all-to-all boundary
-feature exchange.
+feature exchange OVERLAPPED with the diagonal-block local SpMM.
 
 The all_gather variant (``spmm_shard``) moves ALL of X to every device each
 iteration. At higher device counts each shard's edges only reference a
@@ -7,12 +7,16 @@ subset of remote rows, so this variant exchanges exactly the needed
 ("boundary") rows, precomputed statically per (owner, receiver) pair:
 
   1. build time: for each receiver d and owner s, the unique global columns
-     of d's edges owned by s become a padded local-index list; edge columns
-     are remapped into the receive-buffer coordinate system;
+     of d's edges owned by s become a padded local-index list; each shard's
+     edges are split into a DIAGONAL block (columns owned by d itself,
+     indexing x_local directly) and a HALO block (columns remapped into the
+     receive-buffer coordinate system);
   2. step time (shard_map): each owner gathers its send rows
-     [n_dev, C_max, F], one ``all_to_all`` over the mesh axis delivers every
-     receiver its halo, and the local SpMM reads from the concatenated
-     buffer — comm volume is n_dev*C_max*F instead of n_pad*F.
+     [n_dev, C_max, F] and issues one ``all_to_all`` over the mesh axis;
+     the diagonal-block gather + scatter-add has NO data dependence on the
+     collective, so XLA's latency-hiding scheduler runs it while the halo
+     is in flight; the halo-block partial sum lands on top afterwards.
+     Comm volume is n_dev*C_max*F instead of n_pad*F.
 
 This is the graph analogue of ring-attention's KV-block exchange
 (SURVEY.md §5 long-context entry). Win condition: C_max*n_dev << n_pad —
@@ -34,13 +38,33 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _pad_edges(per_shard, num_shards, rows_per):
+    """Stack per-shard (rows, cols, vals) lists into padded [S, E_max]
+    arrays; padding rows point at the local discard slot ``rows_per``."""
+    e_max = max(max((r.shape[0] for r, _, _ in per_shard), default=1), 1)
+    e_max = -(-e_max // 128) * 128
+    rows = np.full((num_shards, e_max), rows_per, np.int32)
+    cols = np.zeros((num_shards, e_max), np.int32)
+    vals = np.zeros((num_shards, e_max), np.float32)
+    for d, (r, c, v) in enumerate(per_shard):
+        rows[d, : r.shape[0]] = r
+        cols[d, : c.shape[0]] = c
+        vals[d, : v.shape[0]] = v
+    return jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)
+
+
 @dataclasses.dataclass(frozen=True)
 class HaloShardedGraph:
-    """Row-partitioned D^-1 A with precomputed halo-exchange metadata."""
+    """Row-partitioned D^-1 A split into diagonal + halo edge blocks."""
 
-    rows_local: jnp.ndarray  # int32 [S, E_max] local row idx (pad: rows_per)
-    cols_remap: jnp.ndarray  # int32 [S, E_max] index into recv buffer
-    vals: jnp.ndarray        # float32 [S, E_max] D^-1-folded (pad: 0)
+    # diagonal block: columns owned by the shard itself (index x_local)
+    rows_diag: jnp.ndarray   # int32 [S, Ed_max] local row idx (pad: rows_per)
+    cols_diag: jnp.ndarray   # int32 [S, Ed_max] local col idx (pad: 0)
+    vals_diag: jnp.ndarray   # float32 [S, Ed_max] D^-1-folded (pad: 0)
+    # halo block: columns delivered by the all_to_all (index recv buffer)
+    rows_halo: jnp.ndarray   # int32 [S, Eh_max]
+    cols_halo: jnp.ndarray   # int32 [S, Eh_max] index into [S*C_max] buffer
+    vals_halo: jnp.ndarray   # float32 [S, Eh_max]
     send_idx: jnp.ndarray    # int32 [S(owner), S(receiver), C_max] local ids
     num_nodes: int
     rows_per_shard: int
@@ -48,7 +72,7 @@ class HaloShardedGraph:
 
     @property
     def num_shards(self) -> int:
-        return self.rows_local.shape[0]
+        return self.rows_diag.shape[0]
 
     @property
     def compression(self) -> float:
@@ -65,13 +89,13 @@ class HaloShardedGraph:
         deg = np.asarray(adj.sum(1)).flatten()
         dinv = (1.0 / np.maximum(deg, 1e-12)).astype(np.float32)
 
-        coo = adj.tocoo()
+        coo = adj.tocoo()  # row-major sorted: filtered splits stay sorted
         shard_of_row = coo.row // rows_per
         shard_of_col = coo.col // rows_per
 
         # per (receiver d, owner s!=d): unique needed local column ids.
-        # own-shard columns never cross the interconnect — they are read
-        # straight from x_local (appended to the receive buffer).
+        # own-shard columns never cross the interconnect — they form the
+        # diagonal block read straight from x_local.
         needed: list[list[np.ndarray]] = []
         c_max = 1
         for d in range(num_shards):
@@ -93,39 +117,35 @@ class HaloShardedGraph:
                 u = needed[d][s]
                 send_idx[s, d, : u.shape[0]] = u  # owner s -> receiver d
 
-        # remap each receiver's edge columns into its receive buffer
-        e_max = 1
-        per_shard_edges = []
+        diag_edges, halo_edges = [], []
         for d in range(num_shards):
             m = shard_of_row == d
             r = (coo.row[m] - d * rows_per).astype(np.int32)
             v = (coo.data[m] * dinv[coo.row[m]]).astype(np.float32)
             owners = shard_of_col[m]
             local_cols = coo.col[m] - owners * rows_per
-            remapped = np.empty(r.shape[0], np.int32)
+
+            md = owners == d
+            diag_edges.append((r[md], local_cols[md].astype(np.int32),
+                               v[md]))
+
+            mh = ~md
+            rh, vh = r[mh], v[mh]
+            own_h, lc_h = owners[mh], local_cols[mh]
+            remapped = np.empty(rh.shape[0], np.int32)
             for s in range(num_shards):
-                ms = owners == s
-                if s == d:
-                    # local columns: read from the x_local tail segment
-                    remapped[ms] = (num_shards * c_max
-                                    + local_cols[ms]).astype(np.int32)
+                ms = own_h == s
+                if s == d or not ms.any():
                     continue
                 # position of each needed local col in the (d,s) halo list
-                pos = np.searchsorted(needed[d][s], local_cols[ms])
+                pos = np.searchsorted(needed[d][s], lc_h[ms])
                 remapped[ms] = (s * c_max + pos).astype(np.int32)
-            per_shard_edges.append((r, remapped, v))
-            e_max = max(e_max, r.shape[0])
-        e_max = -(-e_max // 128) * 128
+            halo_edges.append((rh, remapped, vh))
 
-        rows_l = np.full((num_shards, e_max), rows_per, np.int32)
-        cols_m = np.zeros((num_shards, e_max), np.int32)
-        vals = np.zeros((num_shards, e_max), np.float32)
-        for d, (r, c, v) in enumerate(per_shard_edges):
-            rows_l[d, : r.shape[0]] = r
-            cols_m[d, : c.shape[0]] = c
-            vals[d, : v.shape[0]] = v
+        rows_d, cols_d, vals_d = _pad_edges(diag_edges, num_shards, rows_per)
+        rows_h, cols_h, vals_h = _pad_edges(halo_edges, num_shards, rows_per)
         return HaloShardedGraph(
-            jnp.asarray(rows_l), jnp.asarray(cols_m), jnp.asarray(vals),
+            rows_d, cols_d, vals_d, rows_h, cols_h, vals_h,
             jnp.asarray(send_idx), n, rows_per, c_max)
 
 
@@ -136,10 +156,10 @@ class HaloPropagator:
                  axis: str = "data"):
         self.mesh, self.g, self.axis = mesh, g, axis
         sh = NamedSharding(mesh, P(axis))
-        self.rows_l = jax.device_put(g.rows_local, sh)
-        self.cols_m = jax.device_put(g.cols_remap, sh)
-        self.vals = jax.device_put(g.vals, sh)
-        self.send_idx = jax.device_put(g.send_idx, sh)
+        self.edge_ops = tuple(
+            jax.device_put(a, sh)
+            for a in (g.rows_diag, g.cols_diag, g.vals_diag,
+                      g.rows_halo, g.cols_halo, g.vals_halo, g.send_idx))
 
     def place(self, x: np.ndarray):
         n, f = self.g.num_nodes, x.shape[1]
@@ -158,25 +178,31 @@ class HaloPropagator:
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                      P(axis, None, None), P(axis, None)),
+            in_specs=(P(axis, None),) * 6 + (P(axis, None, None),
+                                             P(axis, None)),
             out_specs=P(axis, None))
-        def prop(rows_l, cols_m, vals, send_idx, x_local):
-            rows_l, cols_m, vals, send_idx = (
-                rows_l[0], cols_m[0], vals[0], send_idx[0])
+        def prop(rows_d, cols_d, vals_d, rows_h, cols_h, vals_h,
+                 send_idx, x_local):
+            rows_d, cols_d, vals_d, rows_h, cols_h, vals_h, send_idx = (
+                rows_d[0], cols_d[0], vals_d[0], rows_h[0], cols_h[0],
+                vals_h[0], send_idx[0])
             rows_per = x_local.shape[0]
 
             def apply_p(x_loc):
+                f = x_loc.shape[1]
                 send = jnp.take(x_loc, send_idx, axis=0)  # [S, C, F]
                 halo = jax.lax.all_to_all(
                     send, axis, split_axis=0, concat_axis=0, tiled=False)
-                buf = jnp.concatenate(
-                    [halo.reshape(-1, x_loc.shape[1]), x_loc])
-                # [S*C + rows_per, F]; local cols index past the halo
-                contrib = jnp.take(buf, cols_m, axis=0) * vals[:, None]
-                acc = jnp.zeros((rows_per + 1, x_loc.shape[1]),
-                                x_loc.dtype)
-                acc = acc.at[rows_l].add(contrib, indices_are_sorted=True)
+                # diagonal-block partial sum: no data dependence on the
+                # all_to_all — XLA overlaps it with the halo in flight
+                acc = jnp.zeros((rows_per + 1, f), x_loc.dtype)
+                acc = acc.at[rows_d].add(
+                    jnp.take(x_loc, cols_d, axis=0) * vals_d[:, None],
+                    indices_are_sorted=True)
+                hbuf = halo.reshape(-1, f)                # [S*C, F]
+                acc = acc.at[rows_h].add(
+                    jnp.take(hbuf, cols_h, axis=0) * vals_h[:, None],
+                    indices_are_sorted=True)
                 return acc[:rows_per]
 
             if mode == "ppr":
@@ -204,5 +230,5 @@ class HaloPropagator:
                 raise ValueError(f"unknown mode {mode!r}")
             return out
 
-        result = prop(self.rows_l, self.cols_m, self.vals, self.send_idx, x)
+        result = prop(*self.edge_ops, x)
         return np.asarray(result)[: g.num_nodes]
