@@ -88,6 +88,7 @@ class GrandConfig:
     # checkpointing / observability (beyond the reference's best-weights
     # torch.save; SURVEY.md §5)
     ckpt_dir: Optional[str] = None   # save best + periodic full state here
+    ckpt_backend: str = "npz"        # "npz" (single file) | "orbax" (dir)
     resume: bool = False             # resume from ckpt_dir/latest.npz
     save_every: int = 0              # full-state ckpt every N evals (0=off)
     metrics_path: Optional[str] = None  # JSONL metrics stream

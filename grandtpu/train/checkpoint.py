@@ -2,9 +2,18 @@
 
 Goes beyond the reference's best-weights-only ``torch.save``
 (``model.py:350-351``): full training state is saved so interrupted runs can
-resume (SURVEY.md §5 checkpoint/resume gap). Storage is a plain npz of the
-flattened pytree — dependency-free, portable, and fast for MLP-sized models;
-an orbax path can layer on later without changing the call sites.
+resume (SURVEY.md §5 checkpoint/resume gap). Two storage backends behind one
+call site:
+
+- ``npz`` (default): plain npz of the flattened pytree — dependency-free,
+  portable, fast for MLP-sized models, single file.
+- ``orbax``: directory checkpoint via ``orbax.checkpoint`` — async-friendly,
+  sharded-array aware; the right choice once params are mesh-sharded
+  (multi-host MAG embedding tables). Select with ``ckpt_backend="orbax"``
+  in the config; ``load_checkpoint`` auto-detects (directory = orbax).
+
+Both backends store the same flat ``{section|path: array}`` dict plus a
+JSON ``__meta__`` blob, so they are interchangeable at restore time.
 """
 
 from __future__ import annotations
@@ -28,8 +37,8 @@ def _flatten_with_paths(tree):
 def save_checkpoint(path: str, *, params, state, opt_state=None,
                     num_batch: int = 0, best_val_acc: float = 0.0,
                     best_val_loss: float = float("inf"),
-                    extra: dict | None = None) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                    extra: dict | None = None,
+                    backend: str = "npz") -> None:
     arrays = {}
     for name, tree in (("params", params), ("state", state),
                        ("opt", opt_state)):
@@ -42,17 +51,43 @@ def save_checkpoint(path: str, *, params, state, opt_state=None,
             "best_val_loss": best_val_loss, **(extra or {})}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(_orbax_dir(path)), arrays,
+                       force=True)
+        return
+    if backend != "npz":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **arrays)
 
 
+def _orbax_dir(path: str) -> str:
+    """orbax checkpoints are directories: strip a stray .npz suffix."""
+    return path[: -len(".npz")] if path.endswith(".npz") else path
+
+
 def load_checkpoint(path: str, *, params_template, state_template,
-                    opt_template=None):
+                    opt_template=None, backend: str | None = None):
     """Restore into the shapes of the given templates. Returns
-    (params, state, opt_state, meta)."""
-    if not path.endswith(".npz"):
-        path = path + ".npz"
-    with np.load(path) as d:
-        arrays = {k: d[k] for k in d.files}
+    (params, state, opt_state, meta). backend=None auto-detects:
+    a directory at the path (modulo .npz suffix) is an orbax checkpoint."""
+    if backend is None:
+        backend = "orbax" if os.path.isdir(_orbax_dir(path)) else "npz"
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        d = _orbax_dir(path)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(d)
+        with ocp.StandardCheckpointer() as ckptr:
+            arrays = {k: np.asarray(v) for k, v in
+                      ckptr.restore(os.path.abspath(d)).items()}
+    else:
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        with np.load(path) as d:
+            arrays = {k: d[k] for k in d.files}
     meta = json.loads(bytes(arrays.pop("__meta__")).decode())
 
     def restore(name, template):

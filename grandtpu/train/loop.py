@@ -232,7 +232,8 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                             f"{cfg.ckpt_dir}/best.npz", params=params,
                             state=state, num_batch=num_batch,
                             best_val_acc=best["acc"],
-                            best_val_loss=best["loss"])
+                            best_val_loss=best["loss"],
+                            backend=cfg.ckpt_backend)
                     n_evals = num_batch // cfg.eval_batch
                     if cfg.save_every and n_evals % cfg.save_every == 0:
                         save_checkpoint(
@@ -240,7 +241,8 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                             state=state, opt_state=opt_state,
                             num_batch=num_batch,
                             best_val_acc=best["acc"],
-                            best_val_loss=best["loss"])
+                            best_val_loss=best["loss"],
+                            backend=cfg.ckpt_backend)
                 if bad_counter >= cfg.patience:
                     verbose(f"Early stop! Min loss: {best['loss']:.4f}, "
                             f"Max accuracy: {best['acc']:.4f}, "

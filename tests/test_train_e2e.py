@@ -109,6 +109,38 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """orbax backend stores the same flat dict; load auto-detects the
+    directory layout (no backend arg needed at restore)."""
+    from grandtpu.nn.mlp import MLPConfig, init_mlp
+    from grandtpu.train.step import make_optimizer
+    from grandtpu.train.checkpoint import save_checkpoint, load_checkpoint
+
+    cfg = MLPConfig(num_features=8, num_classes=3, hidden=4, nlayers=2,
+                    use_bn=True)
+    params, state = init_mlp(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3, 1e-4)
+    opt_state = opt.init(params)
+    p = str(tmp_path / "ckpt.npz")   # .npz suffix stripped for the dir
+    save_checkpoint(p, params=params, state=state, opt_state=opt_state,
+                    num_batch=17, best_val_acc=0.9, backend="orbax")
+    assert (tmp_path / "ckpt").is_dir()
+    p2, s2, o2, meta = load_checkpoint(
+        p, params_template=params, state_template=state,
+        opt_template=opt_state)
+    assert meta["num_batch"] == 17 and meta["best_val_acc"] == 0.9
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # overwrite must not fail (best.npz is rewritten on every improvement)
+    save_checkpoint(p, params=params, state=state, num_batch=18,
+                    backend="orbax")
+    _, _, _, meta = load_checkpoint(p, params_template=params,
+                                    state_template=state)
+    assert meta["num_batch"] == 18
+
+
 def test_scan_steps_matches_per_step_trajectory():
     """Grouped lax.scan stepping must follow the exact same training
     trajectory (same per-step keys, eval schedule, early stop) as the
