@@ -141,6 +141,29 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Wrap the bench harnesses behind one subcommand (each also runs
+    standalone as `python -m grandtpu.bench.<name>` / `python bench.py`)."""
+    suite = args.suite
+    if suite == "spmm":
+        import bench as driver_bench  # repo-root driver bench
+        driver_bench.main()
+    elif suite == "push":
+        from grandtpu.bench.push import bench_push
+        bench_push()
+    elif suite == "train-step":
+        from grandtpu.bench.train_step import CONFIGS, bench_train_step
+        names = [args.config] if args.config else list(CONFIGS)
+        for name in names:
+            bench_train_step(name)
+    elif suite == "scaling":
+        from grandtpu.bench.scaling import bench_scaling
+        bench_scaling()
+    else:
+        raise ValueError(f"unknown bench suite {suite!r}")
+    return 0
+
+
 def cmd_presets(_args) -> int:
     for name, cfg in PRESETS.items():
         d = dataclasses.asdict(cfg)
@@ -167,6 +190,12 @@ def cli(argv=None) -> int:
     p_pred.add_argument("--output", default=None,
                         help="output npz path")
     p_pred.set_defaults(fn=cmd_predict)
+    p_bench = sub.add_parser("bench", help="run a benchmark suite")
+    p_bench.add_argument("suite", choices=["spmm", "push", "train-step",
+                                           "scaling"])
+    p_bench.add_argument("--config", default=None,
+                         help="train-step config name (default: all)")
+    p_bench.set_defaults(fn=cmd_bench)
     args = parser.parse_args(argv)
     try:
         return args.fn(args)
