@@ -12,7 +12,9 @@ from grandtpu.dist.data_parallel import shard_train_inputs  # noqa: F401
 from grandtpu.dist.spmm_shard import (  # noqa: F401
     ShardedGraph, ShardedPropagator, sharded_propagate,
 )
-from grandtpu.dist.push import sharded_gfpush  # noqa: F401
+from grandtpu.dist.push import (  # noqa: F401
+    multihost_native_gfpush, push_source_shard, sharded_gfpush,
+)
 from grandtpu.dist.halo import (  # noqa: F401
     HaloPropagator, HaloShardedGraph,
 )

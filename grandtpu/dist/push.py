@@ -1,10 +1,17 @@
-"""Distributed GFPush: sources sharded across the mesh.
+"""Distributed GFPush: sources sharded across the mesh / across hosts.
 
 The precompute is embarrassingly parallel over source nodes (the reference
-exploits this with OpenMP dynamic scheduling, ``graph.h:73``); on a TPU mesh
-the same decomposition is a ``shard_map`` with the graph replicated and the
-source set sharded — each device runs the batched dense-residue push on its
-shard, no communication at all until results are gathered.
+exploits this with OpenMP dynamic scheduling, ``graph.h:73``). Two
+decompositions here:
+
+- ``sharded_gfpush``: the batched JAX push over a device mesh — graph
+  replicated, source set sharded, zero communication until the gather.
+- ``multihost_native_gfpush``: the production multi-HOST path — each host
+  runs the native C++/OpenMP kernel over its contiguous source shard
+  (OpenMP inside the host, process-parallel across hosts), then one
+  ``process_allgather`` over DCN assembles the [n_src, k] tables. The
+  graph CSR is host-replicated, which is the same assumption the
+  reference makes for its single machine (SURVEY §2.3).
 """
 
 from __future__ import annotations
@@ -69,3 +76,63 @@ def sharded_gfpush(mesh: Mesh, indptr: np.ndarray, indices: np.ndarray,
                              NamedSharding(mesh, P(axis)))
     cols, vals = run(adj_op, deg, dangling, src_dev, coef_j)
     return (np.asarray(cols)[:n_src], np.asarray(vals)[:n_src])
+
+
+def push_source_shard(adj, sources: np.ndarray, rank: int, world: int, *,
+                      prop_mode: str = "ppr", order: int = 10,
+                      alpha: float = 0.2, rmax: float = 1e-7, k: int = 32,
+                      backend: str = "native", num_threads: int = 0):
+    """Run GFPush on rank's contiguous shard of `sources`.
+
+    Pure per-rank unit of ``multihost_native_gfpush`` — callable directly
+    to emulate any world size in one process (used by the tests, and by
+    external schedulers that shard precompute jobs themselves). Returns
+    (lo, hi, cols [hi-lo, k], vals [hi-lo, k]).
+    """
+    from grandtpu.ppr import gfpush
+
+    n_src = sources.shape[0]
+    per = -(-n_src // world)
+    lo, hi = rank * per, min((rank + 1) * per, n_src)
+    if lo >= hi:
+        return lo, lo, np.zeros((0, k), np.int32), np.zeros((0, k),
+                                                            np.float32)
+    tk = gfpush(adj, sources[lo:hi], prop_mode=prop_mode, order=order,
+                alpha=alpha, rmax=rmax, k=k, backend=backend,
+                num_threads=num_threads)
+    return lo, hi, tk.cols, tk.vals
+
+
+def multihost_native_gfpush(adj, sources: np.ndarray, *,
+                            prop_mode: str = "ppr", order: int = 10,
+                            alpha: float = 0.2, rmax: float = 1e-7,
+                            k: int = 32, num_threads: int = 0):
+    """GFPush sharded over JAX processes; native kernel per host.
+
+    Single-process (this environment) degenerates to the plain native
+    call. Multi-process: every host pushes its shard, one
+    ``process_allgather`` moves the padded [per, k] tables over DCN —
+    comm volume n_src*k*(4+4) bytes total, independent of graph size.
+    """
+    from grandtpu.sparse.topk import TopKProp
+
+    sources = np.asarray(sources)
+    world = jax.process_count()
+    rank = jax.process_index()
+    lo, hi, cols, vals = push_source_shard(
+        adj, sources, rank, world, prop_mode=prop_mode, order=order,
+        alpha=alpha, rmax=rmax, k=k, num_threads=num_threads)
+    if world == 1:
+        return TopKProp(sources, cols, vals, adj.shape[0])
+
+    from jax.experimental import multihost_utils
+
+    per = -(-sources.shape[0] // world)
+    cols_p = np.zeros((per, k), np.int32)
+    vals_p = np.zeros((per, k), np.float32)
+    cols_p[: hi - lo], vals_p[: hi - lo] = cols, vals
+    cols_all = np.asarray(multihost_utils.process_allgather(cols_p))
+    vals_all = np.asarray(multihost_utils.process_allgather(vals_p))
+    cols_full = cols_all.reshape(world * per, k)[: sources.shape[0]]
+    vals_full = vals_all.reshape(world * per, k)[: sources.shape[0]]
+    return TopKProp(sources, cols_full, vals_full, adj.shape[0])

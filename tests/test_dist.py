@@ -181,3 +181,32 @@ def test_halo_compression_wins_when_sparse():
     g = HaloShardedGraph.build(adj, num_shards=8)
     assert g.compression < 1.0, (
         f"expected halo win on sparse graph, got {g.compression:.2f}")
+
+
+def test_multihost_push_shards_union_to_full(graph_feats):
+    """Rank-emulated source shards concatenate to the full native run,
+    and the single-process wrapper degenerates to it exactly."""
+    from grandtpu.dist.push import multihost_native_gfpush, push_source_shard
+    from grandtpu.ppr import gfpush
+
+    adj, _, _ = graph_feats
+    sources = np.arange(0, 150, 3)  # 50 sources, world=4 -> shards 13/13/13/11
+    kw = dict(prop_mode="ppr", order=5, alpha=0.3, rmax=1e-4, k=8)
+    full = gfpush(adj, sources, backend="native", **kw)
+
+    world = 4
+    cols_parts, vals_parts, cover = [], [], 0
+    for rank in range(world):
+        lo, hi, c, v = push_source_shard(adj, sources, rank, world, **kw)
+        assert lo == cover and c.shape == (hi - lo, 8)
+        cover = hi
+        cols_parts.append(c)
+        vals_parts.append(v)
+    assert cover == sources.shape[0]
+    np.testing.assert_array_equal(np.concatenate(cols_parts), full.cols)
+    np.testing.assert_array_equal(np.concatenate(vals_parts), full.vals)
+
+    got = multihost_native_gfpush(adj, sources, **kw)  # process_count()==1
+    np.testing.assert_array_equal(got.cols, full.cols)
+    np.testing.assert_array_equal(got.vals, full.vals)
+    assert got.num_nodes == full.num_nodes
