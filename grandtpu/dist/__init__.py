@@ -8,7 +8,9 @@ full-graph propagation where we control the halo exchange.
 """
 
 from grandtpu.dist.mesh import make_mesh  # noqa: F401
-from grandtpu.dist.data_parallel import shard_train_inputs  # noqa: F401
+from grandtpu.dist.data_parallel import (  # noqa: F401
+    shard_sparse_train_inputs, shard_train_inputs,
+)
 from grandtpu.dist.spmm_shard import (  # noqa: F401
     ShardedGraph, ShardedPropagator, sharded_propagate,
 )

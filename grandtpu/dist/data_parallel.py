@@ -93,6 +93,63 @@ def _shard_params_tp(params, mesh: Mesh):
     return out
 
 
+def shard_sparse_train_inputs(mesh: Mesh, *, params, state, opt_state,
+                              attr_cols, attr_vals, tk_cols, tk_vals,
+                              emb_mode: str = "vocab"):
+    """Place the sparse-feature (MAG) engine's state on the mesh.
+
+    The memory-critical tensor is the embedding table (SURVEY §7.3 item 10:
+    2.8M x hidden for MAG, plus its Adam moments at 2x). `emb_mode`:
+
+    - "vocab": table rows over 'data' — V/S rows per device, the multi-host
+      memory win; XLA turns the attr-id gather into collectives.
+    - "tp": hidden dim over 'model' — the gather stays device-local and the
+      head's first matmul contracts the sharded H with one GSPMD-inserted
+      psum (Megatron-style); use when a 'model' axis exists.
+    - "replicate": small-vocab datasets.
+
+    Attr tables [N, P] and top-k tables row-shard over 'data' like the
+    dense path. Adam moments follow the table's sharding (matched by
+    shape) so optimizer memory scales down with it.
+    """
+    repl = P()
+    emb_shape = params["emb"]["table"].shape
+    emb_spec = {"vocab": P("data", None), "tp": P(None, "model"),
+                "replicate": repl}[emb_mode]
+    n_data = mesh.shape["data"]
+
+    def place_like_emb(tree):
+        # vocab mode row-pads the table (and its Adam moments, matched by
+        # shape) to a 'data'-divisible size; padded rows are never gathered
+        # (attr ids < V) and see zero gradients
+        def put(x):
+            if getattr(x, "shape", None) == emb_shape:
+                if emb_mode == "vocab":
+                    x = _pad_rows(jax.numpy.asarray(x), n_data)
+                return jax.device_put(x, NamedSharding(mesh, emb_spec))
+            return jax.device_put(x, NamedSharding(mesh, repl))
+        return jax.tree.map(put, tree)
+
+    placed = {"emb": place_like_emb(params["emb"]),
+              "bns": _put(params["bns"], mesh, repl)}
+    fcs = []
+    for i, fc in enumerate(params["fcs"]):
+        # under tp the first head fc contracts the sharded hidden dim
+        w_spec = P("model", None) if emb_mode == "tp" and i == 0 else repl
+        fcs.append({"w": jax.device_put(fc["w"],
+                                        NamedSharding(mesh, w_spec)),
+                    "b": jax.device_put(fc["b"], NamedSharding(mesh, repl))})
+    placed["fcs"] = fcs
+    state = _put(state, mesh, repl)
+    opt_state = place_like_emb(opt_state)
+    sh_rows = NamedSharding(mesh, P("data", None))
+    attr_cols = jax.device_put(_pad_rows(attr_cols, n_data), sh_rows)
+    attr_vals = jax.device_put(_pad_rows(attr_vals, n_data), sh_rows)
+    tk_cols = jax.device_put(_pad_rows(tk_cols, n_data), sh_rows)
+    tk_vals = jax.device_put(_pad_rows(tk_vals, n_data), sh_rows)
+    return placed, state, opt_state, attr_cols, attr_vals, tk_cols, tk_vals
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Shard per-step batch arrays over the data axis."""
     sh = NamedSharding(mesh, P("data"))

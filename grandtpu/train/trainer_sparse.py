@@ -147,6 +147,15 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     labels_int = data.labels_int
     n_class = data.num_classes
 
+    mesh = None
+    if cfg.num_devices > 1:
+        if len(jax.devices()) < cfg.num_devices:
+            raise ValueError(
+                f"num_devices={cfg.num_devices} but only "
+                f"{len(jax.devices())} devices visible")
+        from grandtpu.dist import make_mesh
+        mesh = make_mesh(n_data=cfg.num_devices, n_model=1)
+
     mlp_cfg = MLPConfig(
         num_features=padded.num_features, num_classes=n_class,
         hidden=cfg.hidden, nlayers=cfg.nlayers, use_bn=cfg.use_bn,
@@ -160,6 +169,19 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     opt_state = optimizer.init(params)
     train_step, eval_step = _build_sparse_steps(
         mlp_cfg, cfg, optimizer, n_class)
+
+    batch_transform = None
+    if mesh is not None:
+        # GSPMD placement: vocab-sharded embedding table (+Adam moments),
+        # row-sharded attr/top-k tables, dp over batch rows
+        from grandtpu.dist.data_parallel import (shard_batch,
+                                                 shard_sparse_train_inputs)
+        (params, state, opt_state, attr_cols, attr_vals, tk_cols,
+         tk_vals) = shard_sparse_train_inputs(
+            mesh, params=params, state=state, opt_state=opt_state,
+            attr_cols=attr_cols, attr_vals=attr_vals, tk_cols=tk_cols,
+            tk_vals=tk_vals, emb_mode="vocab")
+        batch_transform = lambda b: shard_batch(mesh, b)  # noqa: E731
 
     val_rows = jnp.asarray(tk.row_positions(data.idx_val))
     val_labels = jnp.asarray(labels_int[data.idx_val])
@@ -187,7 +209,7 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
         train_labels_all=train_labels_all,
         edges_per_step=(cfg.batch_size + cfg.unlabel_batch_size) * tk.k
         * cfg.sample,
-        verbose=verbose,
+        verbose=verbose, batch_transform=batch_transform,
         step_operands=(attr_cols, attr_vals, tk_cols, tk_vals))
     best = out["best"]
     num_batch = out["num_batch"]
@@ -195,10 +217,15 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     history = out["history"]
 
     # predict: all-node embeddings -> propagate in embedding space -> head
+    # (use the unpadded/unsharded attr tables: the mesh path row-pads them)
     from grandtpu.infer.classify import predict_logits_sparse
     bp, bs = best["params"], best["state"]
+    if mesh is not None:
+        bp = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bp)
+        bs = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bs)
     logits = predict_logits_sparse(
-        bp, bs, mlp_cfg, attr_cols, attr_vals, adj_sl,
+        bp, bs, mlp_cfg, jnp.asarray(padded.attr_cols),
+        jnp.asarray(padded.attr_vals), adj_sl,
         mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
     preds = logits.argmax(1)
     test_acc = float(np.equal(preds[data.idx_test],

@@ -210,3 +210,78 @@ def test_multihost_push_shards_union_to_full(graph_feats):
     np.testing.assert_array_equal(got.cols, full.cols)
     np.testing.assert_array_equal(got.vals, full.vals)
     assert got.num_nodes == full.num_nodes
+
+
+@pytest.mark.parametrize("emb_mode,mesh_shape", [("vocab", (8, 1)),
+                                                 ("tp", (4, 2))])
+def test_gspmd_sharded_sparse_step(emb_mode, mesh_shape):
+    """Sparse (MAG) engine step with the embedding table sharded — vocab
+    rows over 'data' or hidden over 'model' — equals single-device."""
+    import scipy.sparse as sp
+    from grandtpu.config import GrandConfig
+    from grandtpu.dist.data_parallel import (shard_batch,
+                                             shard_sparse_train_inputs)
+    from grandtpu.nn.mlp import MLPConfig
+    from grandtpu.nn.mag_mlp import init_mag_mlp
+    from grandtpu.nn.sparse_input import PaddedFeatures
+    from grandtpu.ppr import gfpush
+    from grandtpu.train.step import make_optimizer
+    from grandtpu.train.trainer_sparse import _build_sparse_steps
+
+    rs = np.random.RandomState(3)
+    n, vocab = 200, 30   # vocab deliberately not divisible by 8
+    feats = sp.random(n, vocab, density=0.15, format="csr",
+                      random_state=rs, dtype=np.float32)
+    feats.data[:] = np.abs(feats.data) + 0.1
+    from grandtpu.data import synthetic_graph
+    adj, _, labels = synthetic_graph(num_nodes=n, num_classes=3,
+                                     num_features=4, seed=5)
+    adj = (adj + sp.eye(n, format="csr")).tocsr()
+    tk = gfpush(adj, np.arange(n), prop_mode="ppr", order=4, alpha=0.2,
+                rmax=1e-6, k=8, backend="numpy")
+    padded = PaddedFeatures.from_csr(feats)
+
+    cfg = GrandConfig(dataset="x", batch_size=32, unlabel_batch_size=32,
+                      sample=2, dropnode_rate=0.5, lam=1.0, warmup=10.0,
+                      tem=0.1, loss="l2", clip_norm=0.1, hidden=16,
+                      nlayers=2, use_bn=True, input_droprate=0.0)
+    mlp_cfg = MLPConfig(num_features=vocab, num_classes=3, hidden=16,
+                        nlayers=2, use_bn=True)
+    optimizer = make_optimizer(0.01, 1e-3)
+    params, state = init_mag_mlp(jax.random.PRNGKey(0), mlp_cfg)
+    opt_state = optimizer.init(params)
+    train_step, _ = _build_sparse_steps(mlp_cfg, cfg, optimizer, 3)
+
+    attr_cols = jnp.asarray(padded.attr_cols)
+    attr_vals = jnp.asarray(padded.attr_vals)
+    tk_cols, tk_vals = jnp.asarray(tk.cols), jnp.asarray(tk.vals)
+    batch_np = {"rows": np.arange(64, dtype=np.int32),
+                "labels": labels.argmax(-1)[:32].astype(np.int32),
+                "label_mask": np.ones(32, np.float32)}
+    key = jax.random.PRNGKey(7)
+
+    p1, s1, o1, l1 = train_step(
+        params, state, opt_state, attr_cols, attr_vals, tk_cols, tk_vals,
+        {k: jnp.asarray(v) for k, v in batch_np.items()}, key,
+        jnp.float32(0))
+
+    mesh = make_mesh(n_data=mesh_shape[0], n_model=mesh_shape[1])
+    pp, ss, oo, ac, av, tc, tv = shard_sparse_train_inputs(
+        mesh, params=params, state=state, opt_state=opt_state,
+        attr_cols=attr_cols, attr_vals=attr_vals, tk_cols=tk_cols,
+        tk_vals=tk_vals, emb_mode=emb_mode)
+    batch_sh = shard_batch(mesh, {k: jnp.asarray(v)
+                                  for k, v in batch_np.items()})
+    p2, s2, o2, l2 = train_step(pp, ss, oo, ac, av, tc, tv, batch_sh, key,
+                                jnp.float32(0))
+
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-4)
+    # vocab mode row-pads the table to a divisible size; compare real rows
+    np.testing.assert_allclose(
+        np.asarray(p2["emb"]["table"])[:vocab],
+        np.asarray(p1["emb"]["table"]), atol=1e-4)
+    for part in ("fcs", "bns"):
+        for a, b in zip(jax.tree.leaves(p1[part]),
+                        jax.tree.leaves(p2[part])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
