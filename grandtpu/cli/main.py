@@ -57,6 +57,11 @@ def cmd_run(args) -> int:
 
     cfg = _build_config(args)
     accs, times, btimes, nbatches = [], [], [], []
+    # multi-run protocols enumerate seeds 0..N-1 exactly like the reference
+    # driver (run_model.py:83-86). Deliberate divergence: the reference
+    # overwrites seed1/seed2 even for a single run (a 1x1 run always gets
+    # seeds 0/0, making --seed flags dead); here a single run honors the
+    # configured seed.
     for s1 in range(cfg.seed1_runs):
         for s2 in range(cfg.seed2_runs):
             run_cfg = cfg.replace(seed1=s1 if cfg.seed1_runs > 1 else
