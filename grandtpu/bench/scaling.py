@@ -23,17 +23,23 @@ def log(*a):
 
 
 def bench_scaling(n=100_000, avg_degree=20, f=128, order=5,
-                  shard_counts=None, repeats=3):
+                  shard_counts=None, repeats=3, variant="all_gather"):
+    """variant: 'all_gather' (ShardedPropagator), 'halo' (all_to_all
+    boundary exchange overlapped with the diagonal block), or 'both' —
+    'both' produces the halo-vs-all_gather crossover curve (the halo row
+    also reports its comm-compression ratio)."""
     import jax
 
     from grandtpu.data import synthetic_graph
-    from grandtpu.dist import ShardedGraph, make_mesh
+    from grandtpu.dist import (HaloPropagator, HaloShardedGraph,
+                               ShardedGraph, make_mesh)
     from grandtpu.dist.spmm_shard import ShardedPropagator
 
     n_dev = len(jax.devices())
     if shard_counts is None:
         shard_counts = [s for s in (1, 2, 4, 8, 16, 32)
                         if s <= n_dev]
+    variants = ("all_gather", "halo") if variant == "both" else (variant,)
     adj, _, _ = synthetic_graph(num_nodes=n, num_classes=8, num_features=4,
                                 avg_degree=avg_degree, seed=0)
     adj = (adj + sp.eye(n, format="csr")).tocsr()
@@ -42,28 +48,40 @@ def bench_scaling(n=100_000, avg_degree=20, f=128, order=5,
     log(f"graph n={n} nnz={adj.nnz} f={f}; devices={n_dev}")
 
     results = []
-    base = None
+    base = {}
     for s in shard_counts:
         mesh = make_mesh(n_data=s, n_model=1,
                          devices=jax.devices()[:s])
-        g = ShardedGraph.build(adj, num_shards=s)
-        prop = ShardedPropagator(mesh, g)
-        x_dev = prop.place(feats)     # operator + features resident once
-        prop(x_dev, mode="ppr", order=order)  # warm/compile
-        times = []
-        for _ in range(repeats):
-            t0 = time.time()
-            prop(x_dev, mode="ppr", order=order)
-            times.append(time.time() - t0)
-        eps = adj.nnz * order / min(times)
-        if base is None:
-            base = eps
-        eff = eps / (base * s)
-        results.append({"shards": s, "edges_per_s": eps,
-                        "scaling_efficiency": eff})
-        print(json.dumps(results[-1]), flush=True)
+        for var in variants:
+            row = {"shards": s, "variant": var}
+            if var == "halo":
+                if s == 1:
+                    continue   # no remote columns to exchange
+                hg = HaloShardedGraph.build(adj, num_shards=s)
+                prop = HaloPropagator(mesh, hg)
+                row["compression"] = hg.compression
+            else:
+                g = ShardedGraph.build(adj, num_shards=s)
+                prop = ShardedPropagator(mesh, g)
+            x_dev = prop.place(feats)  # operator + features resident once
+            prop(x_dev, mode="ppr", order=order)  # warm/compile
+            times = []
+            for _ in range(repeats):
+                t0 = time.time()
+                prop(x_dev, mode="ppr", order=order)
+                times.append(time.time() - t0)
+            eps = adj.nnz * order / min(times)
+            # efficiency = per-shard throughput vs this variant's first
+            # measured shard count
+            base.setdefault(var, eps / s)
+            row.update(edges_per_s=eps,
+                       scaling_efficiency=(eps / s) / base[var])
+            results.append(row)
+            print(json.dumps(row), flush=True)
     return results
 
 
 if __name__ == "__main__":
-    bench_scaling()
+    import sys as _sys
+    bench_scaling(variant=_sys.argv[1] if len(_sys.argv) > 1
+                  else "all_gather")

@@ -163,7 +163,7 @@ def cmd_bench(args) -> int:
             bench_train_step(name)
     elif suite == "scaling":
         from grandtpu.bench.scaling import bench_scaling
-        bench_scaling()
+        bench_scaling(variant=args.variant)
     else:
         raise ValueError(f"unknown bench suite {suite!r}")
     return 0
@@ -200,6 +200,9 @@ def cli(argv=None) -> int:
                                            "scaling"])
     p_bench.add_argument("--config", default=None,
                          help="train-step config name (default: all)")
+    p_bench.add_argument("--variant", default="all_gather",
+                         choices=["all_gather", "halo", "both"],
+                         help="scaling suite: propagation variant(s)")
     p_bench.set_defaults(fn=cmd_bench)
     args = parser.parse_args(argv)
     try:
