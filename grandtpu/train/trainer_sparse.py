@@ -219,14 +219,16 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     # predict: all-node embeddings -> propagate in embedding space -> head
     # (use the unpadded/unsharded attr tables: the mesh path row-pads them)
     from grandtpu.infer.classify import predict_logits_sparse
+    from grandtpu.observe import profile_trace
     bp, bs = best["params"], best["state"]
     if mesh is not None:
         bp = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bp)
         bs = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bs)
-    logits = predict_logits_sparse(
-        bp, bs, mlp_cfg, jnp.asarray(padded.attr_cols),
-        jnp.asarray(padded.attr_vals), adj_sl,
-        mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
+    with profile_trace(cfg.profile_dir):
+        logits = predict_logits_sparse(
+            bp, bs, mlp_cfg, jnp.asarray(padded.attr_cols),
+            jnp.asarray(padded.attr_vals), adj_sl,
+            mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
     preds = logits.argmax(1)
     test_acc = float(np.equal(preds[data.idx_test],
                               labels_int[data.idx_test]).mean())
