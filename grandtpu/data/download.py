@@ -115,27 +115,83 @@ def untar(tar_path: str, dest: str | None = None, log=print) -> str:
     return dest
 
 
+def unzip(zip_path: str, dest: str | None = None, log=print) -> str:
+    """Extract a zip archive next to itself. Refuses members that would
+    escape the destination directory (the large non-citation datasets ship
+    as zips, reference ``README.md:25-28``)."""
+    import zipfile
+    dest = dest or os.path.dirname(zip_path) or "."
+    base = os.path.realpath(dest)
+    with zipfile.ZipFile(zip_path) as zf:
+        for name in zf.namelist():
+            target = os.path.realpath(os.path.join(dest, name))
+            if not target.startswith(base + os.sep) and target != base:
+                raise ValueError(f"unsafe zip member path: {name}")
+        zf.extractall(dest)
+    log(f"extracted {zip_path} -> {dest}")
+    return dest
+
+
+def extract(archive_path: str, dest: str | None = None, log=print) -> str:
+    """Dispatch on archive type; non-archives are left in place."""
+    if archive_path.endswith(".zip"):
+        return unzip(archive_path, dest, log=log)
+    if tarfile.is_tarfile(archive_path):
+        return untar(archive_path, dest, log=log)
+    return os.path.dirname(archive_path) or "."
+
+
+# the non-bundled datasets, exactly as the reference documents them
+# (``README.md:25-28``, Tsinghua Cloud mirrors). Values: (url, filename).
+DATASET_URLS = {
+    "aminer": ("https://cloud.tsinghua.edu.cn/f/"
+               "629a605e453b40fc9a93/?dl=1", "aminer.zip"),
+    "reddit": ("https://cloud.tsinghua.edu.cn/f/"
+               "384be92876ed4127aa3c/?dl=1", "reddit.zip"),
+    "Amazon2M": ("https://cloud.tsinghua.edu.cn/f/"
+                 "7c867cef16214fe1a30b/?dl=1", "Amazon2M.zip"),
+    "mag_scholar_c": ("https://cloud.tsinghua.edu.cn/f/"
+                      "5e5c9d8833a143d5abb4/?dl=1", "mag_scholar_c.npz"),
+}
+
+
+def fetch_dataset(name: str, path: str = "dataset", log=print) -> str:
+    """Turnkey acquisition of a known dataset: download (resumable) +
+    extract. Returns the dataset directory."""
+    if name not in DATASET_URLS:
+        raise KeyError(f"no registered URL for dataset {name!r}; known: "
+                       f"{sorted(DATASET_URLS)}")
+    url, fname = DATASET_URLS[name]
+    out = download(url, path, fname, log=log)
+    return extract(out, log=log)
+
+
 def main(argv=None) -> int:
     import argparse
     p = argparse.ArgumentParser(prog="grandtpu-download")
     p.add_argument("--url", help="http(s) URL to fetch")
     p.add_argument("--gdrive-id", help="Google Drive file id")
+    p.add_argument("--dataset", help="registered dataset name "
+                   f"({', '.join(sorted(DATASET_URLS))})")
     p.add_argument("--path", default="dataset", help="output directory")
     p.add_argument("--fname", default=None, help="output filename")
     p.add_argument("--untar", action="store_true",
                    help="extract after download")
     args = p.parse_args(argv)
-    if not args.url and not args.gdrive_id:
-        p.error("one of --url / --gdrive-id is required")
+    if not args.url and not args.gdrive_id and not args.dataset:
+        p.error("one of --url / --gdrive-id / --dataset is required")
     try:
+        if args.dataset:
+            fetch_dataset(args.dataset, args.path)
+            return 0
         if args.gdrive_id:
             out = download_from_google_drive(
                 args.gdrive_id, args.path, args.fname or args.gdrive_id)
         else:
             out = download(args.url, args.path, args.fname)
         if args.untar:
-            untar(out)
-    except (IOError, ValueError) as e:
+            extract(out)
+    except (IOError, ValueError, KeyError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     return 0

@@ -17,6 +17,7 @@ PAYLOAD = os.urandom(3 * (1 << 16))
 
 class RangeHandler(http.server.BaseHTTPRequestHandler):
     fail_first = {"count": 0}
+    files: dict = {}   # path -> bytes overrides (default: PAYLOAD)
 
     def do_GET(self):
         if self.path == "/flaky" and RangeHandler.fail_first["count"] > 0:
@@ -24,7 +25,7 @@ class RangeHandler(http.server.BaseHTTPRequestHandler):
             self.send_response(500)
             self.end_headers()
             return
-        data = PAYLOAD
+        data = RangeHandler.files.get(self.path, PAYLOAD)
         rng = self.headers.get("Range")
         if rng:
             start = int(rng.split("=")[1].rstrip("-").split("-")[0])
@@ -106,3 +107,38 @@ def test_untar_rejects_escape(tmp_path):
         tf.addfile(info, io.BytesIO(data))
     with pytest.raises(ValueError, match="unsafe"):
         untar(str(tar_p), log=lambda *a: None)
+
+
+def test_unzip_roundtrip_and_escape(tmp_path):
+    import zipfile
+    from grandtpu.data.download import unzip
+    zp = tmp_path / "a.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("inner/payload.txt", "hello zip")
+    unzip(str(zp), log=lambda *a: None)
+    assert (tmp_path / "inner" / "payload.txt").read_text() == "hello zip"
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../../escape.txt", "pwn")
+    with pytest.raises(ValueError, match="unsafe"):
+        unzip(str(evil), log=lambda *a: None)
+
+
+def test_fetch_dataset_registry(server, tmp_path, monkeypatch):
+    """fetch_dataset: registered URL -> resumable download -> extract."""
+    import zipfile
+    from grandtpu.data import download as dl
+
+    # serve a zip through the range-serving test server
+    payload = io.BytesIO()
+    with zipfile.ZipFile(payload, "w") as zf:
+        zf.writestr("aminer/adj.pkl", b"\x00fake")
+    RangeHandler.files["/aminer.zip"] = payload.getvalue()
+    monkeypatch.setitem(dl.DATASET_URLS, "aminer",
+                        (f"{server}/aminer.zip", "aminer.zip"))
+    out_dir = dl.fetch_dataset("aminer", str(tmp_path),
+                               log=lambda *a: None)
+    assert (tmp_path / "aminer" / "adj.pkl").read_bytes() == b"\x00fake"
+    assert out_dir == str(tmp_path)
+    with pytest.raises(KeyError, match="no registered URL"):
+        dl.fetch_dataset("nope", str(tmp_path))
