@@ -130,9 +130,19 @@ def cmd_predict(args) -> int:
             jnp.asarray(padded.attr_vals), adj_sl, mode=cfg.prop_mode,
             order=cfg.order, alpha=cfg.alpha)
     else:
-        prop = exact_propagate(adj_sl, np.asarray(data.features),
-                               mode=cfg.prop_mode, order=cfg.order,
-                               alpha=cfg.alpha)
+        if cfg.num_devices > 1:
+            # multi-chip serving: row-partitioned shard_map propagation
+            from grandtpu.dist import (ShardedGraph, make_mesh,
+                                       sharded_propagate)
+            mesh = make_mesh(n_data=cfg.num_devices, n_model=1)
+            g = ShardedGraph.build(adj_sl, num_shards=cfg.num_devices)
+            prop = sharded_propagate(
+                mesh, g, np.asarray(data.features, np.float32),
+                mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
+        else:
+            prop = exact_propagate(adj_sl, np.asarray(data.features),
+                                   mode=cfg.prop_mode, order=cfg.order,
+                                   alpha=cfg.alpha)
         logits = predict_logits(params, state, mlp_cfg, prop)
     preds = logits.argmax(1)
     acc = float(np.equal(preds[data.idx_test],
