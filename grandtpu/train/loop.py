@@ -13,6 +13,8 @@ per-step batch (mesh sharding).
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 
 import jax
@@ -78,6 +80,38 @@ def _build_multi_step(step_fn):
     return multi
 
 
+class _PreemptionGuard:
+    """Graceful preemption (new vs the reference, which has no failure
+    handling — SURVEY.md §5): SIGTERM/SIGINT set a flag; the loop finishes
+    the in-flight step group, checkpoints full state to latest, and stops,
+    so a ``resume=True`` rerun continues where the preemption hit. TPU
+    pod preemptions deliver exactly this signal pattern.
+
+    Handlers only install on the main thread (signal module limitation);
+    elsewhere the guard is inert.
+    """
+
+    _SIGNALS = (signal.SIGTERM, signal.SIGINT)
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for s in self._SIGNALS:
+                self._prev[s] = signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._prev.items():
+            signal.signal(s, h)
+        return False
+
+
 def pad_batch(idx: np.ndarray, size: int):
     """Pad a partial batch by wrapping its own rows; mask marks real rows."""
     mask = np.zeros(size, dtype=np.float32)
@@ -140,124 +174,141 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
     scan_seen: dict[int, int] = {}
     scan_sizes: set[int] = set()
 
-    for epoch in range(cfg.epochs):
-        # assemble the WHOLE epoch's batches host-side and upload once:
-        # per-step host->device transfers cost a round trip each, dwarfing
-        # the sub-millisecond device step
-        order_perm = rng.permutation(len(train_positions))
-        n_steps = -(-len(order_perm) // cfg.batch_size)
-        rows_np = np.empty((n_steps, cfg.batch_size
-                            + cfg.unlabel_batch_size), np.int32)
-        labels_np = np.empty((n_steps, cfg.batch_size), np.int32)
-        masks_np = np.empty((n_steps, cfg.batch_size), np.float32)
-        for i, start in enumerate(range(0, len(order_perm),
-                                        cfg.batch_size)):
-            sel = order_perm[start: start + cfg.batch_size]
-            tr_idx, label_mask = pad_batch(sel, cfg.batch_size)
-            # unlabeled batch: uniform subsample (reference model.py:107-113)
-            un_sel = rng.permutation(len(sample_positions))[
-                : cfg.unlabel_batch_size]
-            un_idx, _ = pad_batch(un_sel, cfg.unlabel_batch_size)
-            rows_np[i] = np.concatenate([train_positions[tr_idx],
-                                         sample_positions[un_idx]])
-            labels_np[i] = train_labels_all[tr_idx]
-            masks_np[i] = label_mask
-        rows_e = jnp.asarray(rows_np)
-        labels_e = jnp.asarray(labels_np)
-        masks_e = jnp.asarray(masks_np)
-        key, sub = jax.random.split(key)
-        keys_e = jax.random.split(sub, n_steps)
-        nb_e = jnp.arange(num_batch, num_batch + n_steps, dtype=jnp.float32)
+    preempted = False
+    guard = _PreemptionGuard()
+    with guard:
+        for epoch in range(cfg.epochs):
+            # assemble the WHOLE epoch's batches host-side and upload once:
+            # per-step host->device transfers cost a round trip each, dwarfing
+            # the sub-millisecond device step
+            order_perm = rng.permutation(len(train_positions))
+            n_steps = -(-len(order_perm) // cfg.batch_size)
+            rows_np = np.empty((n_steps, cfg.batch_size
+                                + cfg.unlabel_batch_size), np.int32)
+            labels_np = np.empty((n_steps, cfg.batch_size), np.int32)
+            masks_np = np.empty((n_steps, cfg.batch_size), np.float32)
+            for i, start in enumerate(range(0, len(order_perm),
+                                            cfg.batch_size)):
+                sel = order_perm[start: start + cfg.batch_size]
+                tr_idx, label_mask = pad_batch(sel, cfg.batch_size)
+                # unlabeled batch: uniform subsample (reference model.py:107-113)
+                un_sel = rng.permutation(len(sample_positions))[
+                    : cfg.unlabel_batch_size]
+                un_idx, _ = pad_batch(un_sel, cfg.unlabel_batch_size)
+                rows_np[i] = np.concatenate([train_positions[tr_idx],
+                                             sample_positions[un_idx]])
+                labels_np[i] = train_labels_all[tr_idx]
+                masks_np[i] = label_mask
+            rows_e = jnp.asarray(rows_np)
+            labels_e = jnp.asarray(labels_np)
+            masks_e = jnp.asarray(masks_np)
+            key, sub = jax.random.split(key)
+            keys_e = jax.random.split(sub, n_steps)
+            nb_e = jnp.arange(num_batch, num_batch + n_steps, dtype=jnp.float32)
 
-        for i0, k, eval_after in _plan_groups(num_batch, n_steps,
-                                              cfg.eval_batch):
-            bt0 = time.time()
-            scan_seen[k] = scan_seen.get(k, 0) + 1
-            if (k > 1 and k not in scan_sizes
-                    and len(scan_sizes) < MAX_SCAN_SIZES
-                    and scan_seen[k] >= SCAN_COMPILE_THRESHOLD):
-                scan_sizes.add(k)
-            if multi_step is not None and k in scan_sizes:
-                params, state, opt_state, ms = multi_step(
-                    params, state, opt_state,
-                    {"rows": rows_e[i0: i0 + k],
-                     "labels": labels_e[i0: i0 + k],
-                     "label_mask": masks_e[i0: i0 + k]},
-                    keys_e[i0: i0 + k], nb_e[i0: i0 + k], *step_operands)
-                last_loss = ms["loss"][-1]
-            else:
-                for i in range(i0, i0 + k):
-                    batch = {"rows": rows_e[i], "labels": labels_e[i],
-                             "label_mask": masks_e[i]}
-                    if batch_transform is not None:
-                        batch = batch_transform(batch)
-                    params, state, opt_state, metrics = step_fn(
-                        params, state, opt_state, batch, keys_e[i],
-                        nb_e[i], *step_operands)
-                last_loss = metrics["loss"]
-            dt = (time.time() - bt0) / k
-            batch_times.extend([dt] * k)
-            timer.times.extend([dt] * k)
-            num_batch += k - 1    # num_batch = global index of last step
-
-            if eval_after and num_batch % cfg.eval_batch == 0:
-                val_loss, val_acc = eval_fn(params, state)
-                val_loss, val_acc = float(val_loss), float(val_acc)
-                train_loss = float(last_loss)
-                history.append({"batch": num_batch, "val_loss": val_loss,
-                                "val_acc": val_acc, "loss": train_loss})
-                metrics_log.log(batch=num_batch, epoch=epoch,
-                                val_loss=val_loss, val_acc=val_acc,
-                                train_loss=train_loss,
-                                batch_time_s=batch_times[-1])
-                verbose(f"epoch {epoch}, batch {num_batch}, "
-                        f"validation loss {val_loss:.4f}, "
-                        f"validation acc {val_acc:.4f}")
-                improved = False
-                # reference improvement rule (model.py:344-346)
-                if val_acc >= best["acc"]:
-                    if cfg.stop_mode == "acc" or (
-                            cfg.stop_mode == "both"
-                            and val_loss <= best["loss"]):
-                        best.update(acc=val_acc, loss=val_loss,
-                                    params=params, state=state,
-                                    batch=num_batch, epoch=epoch)
-                        bad_counter = 0
-                        improved = True
+            for i0, k, eval_after in _plan_groups(num_batch, n_steps,
+                                                  cfg.eval_batch):
+                bt0 = time.time()
+                scan_seen[k] = scan_seen.get(k, 0) + 1
+                if (k > 1 and k not in scan_sizes
+                        and len(scan_sizes) < MAX_SCAN_SIZES
+                        and scan_seen[k] >= SCAN_COMPILE_THRESHOLD):
+                    scan_sizes.add(k)
+                if multi_step is not None and k in scan_sizes:
+                    params, state, opt_state, ms = multi_step(
+                        params, state, opt_state,
+                        {"rows": rows_e[i0: i0 + k],
+                         "labels": labels_e[i0: i0 + k],
+                         "label_mask": masks_e[i0: i0 + k]},
+                        keys_e[i0: i0 + k], nb_e[i0: i0 + k], *step_operands)
+                    last_loss = ms["loss"][-1]
                 else:
-                    bad_counter += 1
-                if cfg.ckpt_dir:
-                    if improved:
-                        save_checkpoint(
-                            f"{cfg.ckpt_dir}/best.npz", params=params,
-                            state=state, num_batch=num_batch,
-                            best_val_acc=best["acc"],
-                            best_val_loss=best["loss"],
-                            backend=cfg.ckpt_backend)
-                    n_evals = num_batch // cfg.eval_batch
-                    if cfg.save_every and n_evals % cfg.save_every == 0:
+                    for i in range(i0, i0 + k):
+                        batch = {"rows": rows_e[i], "labels": labels_e[i],
+                                 "label_mask": masks_e[i]}
+                        if batch_transform is not None:
+                            batch = batch_transform(batch)
+                        params, state, opt_state, metrics = step_fn(
+                            params, state, opt_state, batch, keys_e[i],
+                            nb_e[i], *step_operands)
+                    last_loss = metrics["loss"]
+                dt = (time.time() - bt0) / k
+                batch_times.extend([dt] * k)
+                timer.times.extend([dt] * k)
+                num_batch += k - 1    # num_batch = global index of last step
+
+                if eval_after and num_batch % cfg.eval_batch == 0:
+                    val_loss, val_acc = eval_fn(params, state)
+                    val_loss, val_acc = float(val_loss), float(val_acc)
+                    train_loss = float(last_loss)
+                    history.append({"batch": num_batch, "val_loss": val_loss,
+                                    "val_acc": val_acc, "loss": train_loss})
+                    metrics_log.log(batch=num_batch, epoch=epoch,
+                                    val_loss=val_loss, val_acc=val_acc,
+                                    train_loss=train_loss,
+                                    batch_time_s=batch_times[-1])
+                    verbose(f"epoch {epoch}, batch {num_batch}, "
+                            f"validation loss {val_loss:.4f}, "
+                            f"validation acc {val_acc:.4f}")
+                    improved = False
+                    # reference improvement rule (model.py:344-346)
+                    if val_acc >= best["acc"]:
+                        if cfg.stop_mode == "acc" or (
+                                cfg.stop_mode == "both"
+                                and val_loss <= best["loss"]):
+                            best.update(acc=val_acc, loss=val_loss,
+                                        params=params, state=state,
+                                        batch=num_batch, epoch=epoch)
+                            bad_counter = 0
+                            improved = True
+                    else:
+                        bad_counter += 1
+                    if cfg.ckpt_dir:
+                        if improved:
+                            save_checkpoint(
+                                f"{cfg.ckpt_dir}/best.npz", params=params,
+                                state=state, num_batch=num_batch,
+                                best_val_acc=best["acc"],
+                                best_val_loss=best["loss"],
+                                backend=cfg.ckpt_backend)
+                        n_evals = num_batch // cfg.eval_batch
+                        if cfg.save_every and n_evals % cfg.save_every == 0:
+                            save_checkpoint(
+                                f"{cfg.ckpt_dir}/latest.npz", params=params,
+                                state=state, opt_state=opt_state,
+                                num_batch=num_batch,
+                                best_val_acc=best["acc"],
+                                best_val_loss=best["loss"],
+                                backend=cfg.ckpt_backend)
+                    if bad_counter >= cfg.patience:
+                        verbose(f"Early stop! Min loss: {best['loss']:.4f}, "
+                                f"Max accuracy: {best['acc']:.4f}, "
+                                f"num batch: {num_batch}, epoch: {epoch}")
+                        stop = True
+                num_batch += 1
+                if guard.requested and not stop:
+                    # graceful preemption: full state to latest, then stop
+                    if cfg.ckpt_dir:
                         save_checkpoint(
                             f"{cfg.ckpt_dir}/latest.npz", params=params,
                             state=state, opt_state=opt_state,
-                            num_batch=num_batch,
-                            best_val_acc=best["acc"],
+                            num_batch=num_batch, best_val_acc=best["acc"],
                             best_val_loss=best["loss"],
                             backend=cfg.ckpt_backend)
-                if bad_counter >= cfg.patience:
-                    verbose(f"Early stop! Min loss: {best['loss']:.4f}, "
-                            f"Max accuracy: {best['acc']:.4f}, "
-                            f"num batch: {num_batch}, epoch: {epoch}")
+                    verbose(f"preemption signal at batch {num_batch}: "
+                            f"state saved, stopping (resume=True continues)")
+                    metrics_log.log(event="preempted", num_batch=num_batch)
+                    preempted = True
                     stop = True
-            num_batch += 1
+                if stop:
+                    break
             if stop:
                 break
-        if stop:
-            break
     metrics_log.log(event="train_end", num_batch=num_batch,
                     best_val_acc=best["acc"], **timer.summary())
     metrics_log.close()
     verbose(f"Optimization finished. Best val acc {best['acc']:.4f} "
             f"at batch {best['batch']}")
-    return {"best": best, "num_batch": num_batch,
+    return {"best": best, "num_batch": num_batch, "preempted": preempted,
             "batch_times": batch_times, "history": history,
             "params": params, "state": state, "opt_state": opt_state}

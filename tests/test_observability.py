@@ -86,3 +86,68 @@ def test_resume_restores_best_weights(tmp_path):
     got = np.asarray(out["best"]["params"]["fcs"][0]["w"])
     want = np.asarray(best_params["fcs"][0]["w"])
     np.testing.assert_array_equal(got, want)
+
+
+def test_preemption_graceful_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-training: the loop finishes the step group, saves full
+    state to latest, stops; a resume=True rerun continues from there."""
+    import os
+    import signal
+
+    import numpy as np
+
+    from grandtpu.config import GrandConfig
+    from grandtpu.train.loop import run_training_loop
+
+    cfg = GrandConfig(dataset="x", epochs=4, batch_size=4,
+                      unlabel_batch_size=2, eval_batch=3, patience=100,
+                      ckpt_dir=str(tmp_path), save_every=0,
+                      metrics_path=str(tmp_path / "m.jsonl"))
+    params = {"w": np.zeros(3, np.float32)}
+    state = {"s": np.zeros(1, np.float32)}
+    opt_state = {"m": np.zeros(3, np.float32)}
+    calls = {"n": 0}
+
+    def step_fn(params, state, opt_state, batch, key, nb):
+        calls["n"] += 1
+        if calls["n"] == 5:
+            os.kill(os.getpid(), signal.SIGTERM)  # delivered in-thread
+        return ({"w": params["w"] + 1.0}, state, opt_state,
+                {"loss": np.float32(0.5)})
+
+    def eval_fn(params, state):
+        return 0.4, 0.6
+
+    import jax
+    rng = np.random.RandomState(0)
+    out = run_training_loop(
+        cfg, rng, jax.random.PRNGKey(0), params=params, state=state,
+        opt_state=opt_state, step_fn=step_fn, eval_fn=eval_fn,
+        train_positions=np.arange(12), sample_positions=np.arange(6),
+        train_labels_all=np.zeros(12, np.int32), edges_per_step=1,
+        verbose=lambda *a: None)
+    assert out["preempted"] is True
+    assert (tmp_path / "latest.npz").exists()
+    n_done = out["num_batch"]
+    assert 5 <= n_done < 12   # stopped after the in-flight group
+    lines = (tmp_path / "m.jsonl").read_text().splitlines()
+    assert any('"preempted"' in ln for ln in lines)
+    # handlers restored
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler,
+                                                signal.Handlers.SIG_DFL)
+
+    out2 = run_training_loop(
+        cfg.replace(resume=True), np.random.RandomState(0),
+        jax.random.PRNGKey(0), params=params, state=state,
+        opt_state=opt_state, step_fn=lambda p, s, o, b, k, nb:
+        ({"w": p["w"] + 1.0}, s, o, {"loss": np.float32(0.5)}),
+        eval_fn=eval_fn, train_positions=np.arange(12),
+        sample_positions=np.arange(6),
+        train_labels_all=np.zeros(12, np.int32), edges_per_step=1,
+        verbose=lambda *a: None)
+    assert out2["preempted"] is False
+    assert out2["num_batch"] > n_done   # continued past the preempt point
+    # the resumed run's weights start from the checkpointed values
+    assert float(np.asarray(out2["params"]["w"])[0]) > \
+        float(np.asarray(out["params"]["w"])[0]) - 1e-6
