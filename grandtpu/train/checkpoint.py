@@ -97,6 +97,13 @@ def load_checkpoint(path: str, *, params_template, state_template,
         leaves = []
         for k, ref in flat.items():
             arr = arrays[f"{name}|{k}"]
+            if (arr.shape != ref.shape and arr.ndim == ref.ndim
+                    and arr.shape[1:] == ref.shape[1:]
+                    and arr.shape[0] > ref.shape[0]):
+                # vocab-sharded runs row-pad the embedding table (and its
+                # Adam moments) to a device-divisible size; the padded rows
+                # are never gathered, so slicing restores the exact model
+                arr = arr[: ref.shape[0]]
             assert arr.shape == ref.shape, f"{name}|{k}: shape mismatch"
             leaves.append(jax.numpy.asarray(arr))
         return jax.tree_util.tree_unflatten(

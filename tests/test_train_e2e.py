@@ -109,6 +109,28 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_restore_slices_row_padded_tables(tmp_path):
+    """A checkpoint saved from a vocab-sharded run holds a row-padded
+    embedding table; restoring into the unpadded template slices the
+    padding (those rows are never gathered, so the model is exact)."""
+    from grandtpu.train.checkpoint import save_checkpoint, load_checkpoint
+
+    padded = {"emb": {"table": np.arange(32 * 4, dtype=np.float32)
+                      .reshape(32, 4)}}
+    state = {"s": np.zeros(1, np.float32)}
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, params=padded, state=state)
+    tmpl = {"emb": {"table": np.zeros((30, 4), np.float32)}}
+    got, _, _, _ = load_checkpoint(p, params_template=tmpl,
+                                   state_template=state)
+    np.testing.assert_array_equal(np.asarray(got["emb"]["table"]),
+                                  padded["emb"]["table"][:30])
+    # a genuinely wrong shape still fails
+    bad = {"emb": {"table": np.zeros((30, 5), np.float32)}}
+    with pytest.raises(AssertionError):
+        load_checkpoint(p, params_template=bad, state_template=state)
+
+
 def test_checkpoint_roundtrip_orbax(tmp_path):
     """orbax backend stores the same flat dict; load auto-detects the
     directory layout (no backend arg needed at restore)."""
