@@ -1,115 +1,12 @@
-"""Benchmark harness — run on the real TPU chip.
+"""Driver bench entry point (thin shim).
 
-Headline metric: edges/s of the exact-propagation SpMM power iteration (the
-reference's HOT LOOP #3, scipy ``adj.dot`` on the host, ``model.py:186-210``
-— which is also the measurement BASELINE.md names). vs_baseline compares
-against the reference engine: the identical power iteration with scipy CSR
-SpMM on this host's CPU.
-
+The implementation lives in ``grandtpu.bench.driver`` so the installed
+package (and ``grandtpu bench spmm``) can run it from any cwd; this file
+stays at the repo root because the driver invokes ``python bench.py``.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Details go to stderr.
 """
 
-import json
-import sys
-import time
-
-import numpy as np
-import scipy.sparse as sp
-
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def build_graph(n=300_000, avg_degree=30, f=128, seed=0):
-    from grandtpu.data import synthetic_graph
-    t0 = time.time()
-    adj, _, _ = synthetic_graph(num_nodes=n, num_classes=8, num_features=4,
-                                avg_degree=avg_degree, seed=seed)
-    adj = (adj + sp.eye(n, format="csr")).tocsr()
-    rs = np.random.RandomState(1)
-    feats = rs.rand(n, f).astype(np.float32)
-    log(f"graph: n={n} nnz={adj.nnz} f={f} built in "
-        f"{time.time() - t0:.1f}s")
-    return adj, feats
-
-
-def bench_tpu_spmm(prop, feats, order=5, alpha=0.2, repeats=5, fast=True):
-    import jax
-    import jax.numpy as jnp
-
-    feats = jnp.asarray(feats)   # device-resident: the tunnel to the chip
-    jax.block_until_ready(feats)  # makes per-call host uploads dominate
-
-    def sync(o):
-        # block_until_ready alone can return early through the axon tunnel
-        # (observed on f32 executables); a scalar fetch cannot
-        jax.block_until_ready(o)
-        return float(jnp.sum(o[:1, :1]))
-
-    label = "bf16-block" if fast else "f32-block"
-    t0 = time.time()
-    out = prop(feats, mode="ppr", order=order, alpha=alpha, fast=fast)
-    sync(out)
-    log(f"tpu {label} compile+first run: {time.time() - t0:.1f}s on "
-        f"{jax.devices()[0]}")
-
-    # dispatch all repeats, sync once: the chip runs launches in order on
-    # one stream, so one end-of-batch sync amortizes the ~25ms tunnel
-    # round-trip instead of paying it per call
-    t0 = time.time()
-    for _ in range(repeats):
-        out = prop(feats, mode="ppr", order=order, alpha=alpha, fast=fast)
-    sync(out)
-    per_call = (time.time() - t0) / repeats
-    edges_per_s = prop.nnz * order / per_call
-    log(f"tpu spmm {label}: {per_call:.3f}s/call over {repeats} -> "
-        f"{edges_per_s:.3e} edges/s")
-    return edges_per_s, np.asarray(out)
-
-
-def bench_host_scipy(adj, feats, order=5, alpha=0.2):
-    """The reference engine: scipy CSR SpMM power iteration on host CPU
-    (model.py:186-194)."""
-    x = alpha * feats.astype(np.float32)
-    prop = x.copy()
-    deg = np.asarray(adj.sum(1)).flatten()
-    dia = ((1 - alpha) / np.maximum(deg, 1e-12)).astype(np.float32)
-    t0 = time.time()
-    for _ in range(order):
-        x = dia[:, None] * adj.dot(x)
-        prop += x
-    dt = time.time() - t0
-    edges_per_s = adj.nnz * order / dt
-    log(f"host scipy spmm: {dt:.3f}s -> {edges_per_s:.3e} edges/s")
-    return edges_per_s, prop
-
-
-def main():
-    order = 5
-    adj, feats = build_graph()
-    host_eps, host_out = bench_host_scipy(adj, feats, order=order)
-    from grandtpu.infer import Propagator
-    prop = Propagator(adj, backend="block")
-    prop.nnz = adj.nnz
-    f32_eps, f32_out = bench_tpu_spmm(prop, feats, order=order, fast=False)
-    tpu_eps, tpu_out = bench_tpu_spmm(prop, feats, order=order, fast=True)
-    # numerics gates: f32 path must match the reference engine tightly;
-    # the bf16 fast path within bf16 tolerance
-    scale = max(np.max(np.abs(host_out)), 1e-9)
-    err32 = np.max(np.abs(f32_out - host_out)) / scale
-    err16 = np.max(np.abs(tpu_out - host_out)) / scale
-    log(f"max rel err vs host: f32 {err32:.2e}, bf16 {err16:.2e}")
-    assert err32 < 1e-4, "f32 TPU propagation diverged from reference"
-    assert err16 < 5e-3, "bf16 TPU propagation outside bf16 tolerance"
-    print(json.dumps({
-        "metric": "spmm_propagation_edges_per_s",
-        "value": tpu_eps,
-        "unit": "edges/s",
-        "vs_baseline": tpu_eps / host_eps,
-    }), flush=True)
-
+from grandtpu.bench.driver import main
 
 if __name__ == "__main__":
     main()

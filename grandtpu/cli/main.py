@@ -161,7 +161,7 @@ def cmd_bench(args) -> int:
     standalone as `python -m grandtpu.bench.<name>` / `python bench.py`)."""
     suite = args.suite
     if suite == "spmm":
-        import bench as driver_bench  # repo-root driver bench
+        from grandtpu.bench import driver as driver_bench
         driver_bench.main()
     elif suite == "push":
         from grandtpu.bench.push import bench_push

@@ -25,6 +25,32 @@ import jax
 import numpy as np
 
 
+class CheckpointShapeError(ValueError):
+    """A checkpoint leaf does not fit the restore template (names the leaf)."""
+
+
+def row_padded_meta(before: dict, after: dict) -> dict[str, int]:
+    """Compare section trees (e.g. ``{"params": ..., "opt": ...}``) before
+    and after mesh placement; return ``{flat_key: original_dim0}`` for every
+    leaf whose leading dim was row-padded to a device-divisible size
+    (leading dim grew, trailing dims unchanged). The result is stored in the
+    checkpoint meta so ``load_checkpoint`` slices ONLY those leaves — any
+    other shape mismatch is a hard :class:`CheckpointShapeError` (restoring
+    a hidden=32 checkpoint into a hidden=16 template must never silently
+    truncate weights)."""
+    out: dict[str, int] = {}
+    for name, tree_b in before.items():
+        flat_b, _ = jax.tree_util.tree_flatten_with_path(tree_b)
+        flat_a, _ = jax.tree_util.tree_flatten_with_path(after[name])
+        for (pb, lb), (_, la) in zip(flat_b, flat_a):
+            key = "/".join(str(p) for p in pb)
+            sb, sa = tuple(np.shape(lb)), tuple(np.shape(la))
+            if (sb != sa and len(sa) >= 2 and len(sa) == len(sb)
+                    and sa[1:] == sb[1:] and sa[0] > sb[0]):
+                out[f"{name}|{key}"] = int(sb[0])
+    return out
+
+
 def _flatten_with_paths(tree):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     out = {}
@@ -38,7 +64,11 @@ def save_checkpoint(path: str, *, params, state, opt_state=None,
                     num_batch: int = 0, best_val_acc: float = 0.0,
                     best_val_loss: float = float("inf"),
                     extra: dict | None = None,
+                    row_padded: dict[str, int] | None = None,
                     backend: str = "npz") -> None:
+    """row_padded: {flat leaf key: original dim0} for leaves the mesh
+    placement row-padded (see :func:`row_padded_meta`); recorded in the
+    meta so restore slices exactly those and nothing else."""
     arrays = {}
     for name, tree in (("params", params), ("state", state),
                        ("opt", opt_state)):
@@ -48,7 +78,8 @@ def save_checkpoint(path: str, *, params, state, opt_state=None,
         for k, v in flat.items():
             arrays[f"{name}|{k}"] = v
     meta = {"num_batch": num_batch, "best_val_acc": best_val_acc,
-            "best_val_loss": best_val_loss, **(extra or {})}
+            "best_val_loss": best_val_loss,
+            "__row_padded__": row_padded or {}, **(extra or {})}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     if backend == "orbax":
@@ -89,6 +120,7 @@ def load_checkpoint(path: str, *, params_template, state_template,
         with np.load(path) as d:
             arrays = {k: d[k] for k in d.files}
     meta = json.loads(bytes(arrays.pop("__meta__")).decode())
+    row_padded = meta.get("__row_padded__") or {}
 
     def restore(name, template):
         if template is None:
@@ -96,15 +128,30 @@ def load_checkpoint(path: str, *, params_template, state_template,
         flat, treedef = _flatten_with_paths(template)
         leaves = []
         for k, ref in flat.items():
-            arr = arrays[f"{name}|{k}"]
-            if (arr.shape != ref.shape and arr.ndim == ref.ndim
-                    and arr.shape[1:] == ref.shape[1:]
-                    and arr.shape[0] > ref.shape[0]):
-                # vocab-sharded runs row-pad the embedding table (and its
-                # Adam moments) to a device-divisible size; the padded rows
-                # are never gathered, so slicing restores the exact model
-                arr = arr[: ref.shape[0]]
-            assert arr.shape == ref.shape, f"{name}|{k}: shape mismatch"
+            full_key = f"{name}|{k}"
+            try:
+                arr = arrays[full_key]
+            except KeyError:
+                raise CheckpointShapeError(
+                    f"{full_key}: missing from checkpoint {path!r}") from None
+            if arr.shape != ref.shape:
+                # only leaves the save recorded as row-padded (vocab-sharded
+                # embedding table + its Adam moments) may be sliced back to
+                # their original leading dim; everything else hard-fails so
+                # a misconfigured restore can't silently truncate weights
+                orig = row_padded.get(full_key)
+                if (orig is not None and arr.ndim >= 2
+                        and arr.ndim == ref.ndim
+                        and arr.shape[1:] == ref.shape[1:]
+                        and ref.shape[0] == orig
+                        and arr.shape[0] > ref.shape[0]):
+                    arr = arr[: ref.shape[0]]
+                else:
+                    raise CheckpointShapeError(
+                        f"{full_key}: checkpoint shape {arr.shape} does not"
+                        f" match template {ref.shape}"
+                        + (f" (saved row-padded from dim0={orig})"
+                           if orig is not None else ""))
             leaves.append(jax.numpy.asarray(arr))
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template), leaves)

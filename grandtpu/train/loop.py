@@ -125,7 +125,8 @@ def pad_batch(idx: np.ndarray, size: int):
 def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                       opt_state, step_fn, eval_fn, train_positions,
                       sample_positions, train_labels_all, edges_per_step,
-                      verbose, batch_transform=None, step_operands=()):
+                      verbose, batch_transform=None, step_operands=(),
+                      row_padded=None):
     """Run the full early-stopped training. Returns a dict with best state,
     final params/state/opt_state, counters, batch_times, history.
 
@@ -270,23 +271,33 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                                 state=state, num_batch=num_batch,
                                 best_val_acc=best["acc"],
                                 best_val_loss=best["loss"],
+                                row_padded=row_padded,
                                 backend=cfg.ckpt_backend)
                         n_evals = num_batch // cfg.eval_batch
                         if cfg.save_every and n_evals % cfg.save_every == 0:
+                            # latest.npz convention (all save paths): the
+                            # NEXT-step index, so resume never re-runs the
+                            # step that produced the checkpoint
                             save_checkpoint(
                                 f"{cfg.ckpt_dir}/latest.npz", params=params,
                                 state=state, opt_state=opt_state,
-                                num_batch=num_batch,
+                                num_batch=num_batch + 1,
                                 best_val_acc=best["acc"],
                                 best_val_loss=best["loss"],
+                                row_padded=row_padded,
                                 backend=cfg.ckpt_backend)
                     if bad_counter >= cfg.patience:
                         verbose(f"Early stop! Min loss: {best['loss']:.4f}, "
                                 f"Max accuracy: {best['acc']:.4f}, "
                                 f"num batch: {num_batch}, epoch: {epoch}")
                         stop = True
+                if stop:
+                    # early stop exits BEFORE the increment, matching the
+                    # reference's counting (model.py:355-360): the reported
+                    # `batch num` is the index of the stopping step
+                    break
                 num_batch += 1
-                if guard.requested and not stop:
+                if guard.requested:
                     # graceful preemption: full state to latest, then stop
                     if cfg.ckpt_dir:
                         save_checkpoint(
@@ -294,13 +305,13 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                             state=state, opt_state=opt_state,
                             num_batch=num_batch, best_val_acc=best["acc"],
                             best_val_loss=best["loss"],
+                            row_padded=row_padded,
                             backend=cfg.ckpt_backend)
                     verbose(f"preemption signal at batch {num_batch}: "
                             f"state saved, stopping (resume=True continues)")
                     metrics_log.log(event="preempted", num_batch=num_batch)
                     preempted = True
                     stop = True
-                if stop:
                     break
             if stop:
                 break

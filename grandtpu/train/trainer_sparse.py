@@ -171,16 +171,24 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
         mlp_cfg, cfg, optimizer, n_class)
 
     batch_transform = None
+    row_padded: dict = {}
     if mesh is not None:
         # GSPMD placement: vocab-sharded embedding table (+Adam moments),
         # row-sharded attr/top-k tables, dp over batch rows
         from grandtpu.dist.data_parallel import (shard_batch,
                                                  shard_sparse_train_inputs)
+        from grandtpu.train.checkpoint import row_padded_meta
+        _before = {"params": params, "opt": opt_state}
         (params, state, opt_state, attr_cols, attr_vals, tk_cols,
          tk_vals) = shard_sparse_train_inputs(
             mesh, params=params, state=state, opt_state=opt_state,
             attr_cols=attr_cols, attr_vals=attr_vals, tk_cols=tk_cols,
             tk_vals=tk_vals, emb_mode="vocab")
+        # record which leaves vocab-padding grew so checkpoint restore may
+        # slice exactly those (and nothing else) back to the true vocab
+        row_padded = row_padded_meta(
+            _before, {"params": params, "opt": opt_state})
+        del _before
         batch_transform = lambda b: shard_batch(mesh, b)  # noqa: E731
 
     val_rows = jnp.asarray(tk.row_positions(data.idx_val))
@@ -210,7 +218,8 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
         edges_per_step=(cfg.batch_size + cfg.unlabel_batch_size) * tk.k
         * cfg.sample,
         verbose=verbose, batch_transform=batch_transform,
-        step_operands=(attr_cols, attr_vals, tk_cols, tk_vals))
+        step_operands=(attr_cols, attr_vals, tk_cols, tk_vals),
+        row_padded=row_padded)
     best = out["best"]
     num_batch = out["num_batch"]
     batch_times = out["batch_times"]

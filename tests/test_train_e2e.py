@@ -112,23 +112,51 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_checkpoint_restore_slices_row_padded_tables(tmp_path):
     """A checkpoint saved from a vocab-sharded run holds a row-padded
     embedding table; restoring into the unpadded template slices the
-    padding (those rows are never gathered, so the model is exact)."""
-    from grandtpu.train.checkpoint import save_checkpoint, load_checkpoint
+    padding — but ONLY for leaves the save recorded as row-padded
+    (everything else is a hard typed error, never a silent truncation)."""
+    from grandtpu.train.checkpoint import (CheckpointShapeError,
+                                           load_checkpoint, row_padded_meta,
+                                           save_checkpoint)
 
+    tmpl = {"emb": {"table": np.zeros((30, 4), np.float32)},
+            "head": {"b": np.zeros(30, np.float32)}}
     padded = {"emb": {"table": np.arange(32 * 4, dtype=np.float32)
-                      .reshape(32, 4)}}
+                      .reshape(32, 4)},
+              "head": {"b": np.zeros(30, np.float32)}}
+    rp = row_padded_meta({"params": tmpl}, {"params": padded})
+    assert list(rp.values()) == [30] and "table" in list(rp)[0]
     state = {"s": np.zeros(1, np.float32)}
     p = str(tmp_path / "ck.npz")
-    save_checkpoint(p, params=padded, state=state)
-    tmpl = {"emb": {"table": np.zeros((30, 4), np.float32)}}
+    save_checkpoint(p, params=padded, state=state, row_padded=rp)
     got, _, _, _ = load_checkpoint(p, params_template=tmpl,
                                    state_template=state)
     np.testing.assert_array_equal(np.asarray(got["emb"]["table"]),
                                   padded["emb"]["table"][:30])
-    # a genuinely wrong shape still fails
-    bad = {"emb": {"table": np.zeros((30, 5), np.float32)}}
-    with pytest.raises(AssertionError):
+    # a genuinely wrong shape fails with a typed error naming the leaf
+    bad = {"emb": {"table": np.zeros((30, 5), np.float32)},
+           "head": {"b": np.zeros(30, np.float32)}}
+    with pytest.raises(CheckpointShapeError, match="table"):
         load_checkpoint(p, params_template=bad, state_template=state)
+    # an UNRECORDED oversize leaf must not silently slice: restoring this
+    # checkpoint into a smaller-hidden template (1-D bias) hard-fails
+    small = {"emb": {"table": np.zeros((30, 4), np.float32)},
+             "head": {"b": np.zeros(16, np.float32)}}
+    with pytest.raises(CheckpointShapeError, match="b"):
+        load_checkpoint(p, params_template=small, state_template=state)
+
+
+def test_checkpoint_without_row_pad_record_never_slices(tmp_path):
+    """Saving without row_padded meta (the default) makes ANY shape
+    mismatch a typed error — the ADVICE r1 silent-truncation hazard."""
+    from grandtpu.train.checkpoint import (CheckpointShapeError,
+                                           load_checkpoint, save_checkpoint)
+    params = {"w": np.zeros((32, 4), np.float32)}
+    state = {"s": np.zeros(1, np.float32)}
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, params=params, state=state)
+    tmpl = {"w": np.zeros((30, 4), np.float32)}
+    with pytest.raises(CheckpointShapeError, match="w"):
+        load_checkpoint(p, params_template=tmpl, state_template=state)
 
 
 def test_checkpoint_roundtrip_orbax(tmp_path):
