@@ -25,11 +25,14 @@ def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def consis_loss(log_prob_list, tem: float, conf: float,
-                loss_kind: str = "l2") -> jnp.ndarray:
+                loss_kind: str = "l2", row_mask=None) -> jnp.ndarray:
     """log_prob_list: [K, U, C] stacked log-softmax outputs on unlabeled rows.
 
     Returns the scalar consistency loss (mean over augmentations of the
     confidence-masked per-row distance to the sharpened average).
+    row_mask (optional [U] 0/1): real-row weights for wrap-padded unlabeled
+    batches — padded duplicates drop out of both the mask and the mean, so
+    the loss equals the reference's on the true smaller batch.
     """
     ps = jnp.exp(log_prob_list)                  # [K, U, C]
     avg_p = jnp.mean(ps, axis=0)                 # [U, C]
@@ -38,6 +41,8 @@ def consis_loss(log_prob_list, tem: float, conf: float,
         powed / jnp.sum(powed, axis=-1, keepdims=True))   # [U, C]
 
     mask = jnp.max(avg_p, axis=-1) > conf        # [U]
+    if row_mask is not None:
+        mask = jnp.logical_and(mask, row_mask > 0)
     denom = jnp.maximum(jnp.sum(mask), 1)
 
     if loss_kind == "kl":

@@ -40,8 +40,9 @@ def init_mag_mlp(key, cfg: MLPConfig):
 
 
 def apply_mag_head(params, state, cfg: MLPConfig, x, *, key=None,
-                   training: bool = False):
-    """Head forward on [B, H] embeddings -> ([B, C] logits, new_state)."""
+                   training: bool = False, batch_mask=None):
+    """Head forward on [B, H] embeddings -> ([B, C] logits, new_state).
+    batch_mask ([B] 0/1) marks real rows for BN stats on padded batches."""
     if key is None:
         key = jax.random.PRNGKey(0)
     n_fc = len(params["fcs"])
@@ -55,7 +56,7 @@ def apply_mag_head(params, state, cfg: MLPConfig, x, *, key=None,
             x = _node_normalize(x)
         if cfg.use_bn:
             x, new_bn[i] = _batchnorm(
-                x, params["bns"][i], state["bns"][i], training)
+                x, params["bns"][i], state["bns"][i], training, batch_mask)
         x = _dropout(keys[i], x, cfg.hidden_droprate, training)
         x = x @ params["fcs"][i]["w"] + params["fcs"][i]["b"]
     return x, {"bns": new_bn}

@@ -84,13 +84,25 @@ def init_mlp(key, cfg: MLPConfig):
     return {"fcs": fcs, "bns": bns}, {"bns": bn_state}
 
 
-def _batchnorm(x, p, s, training: bool):
-    """Torch BatchNorm1d. Returns (y, new_state)."""
+def _batchnorm(x, p, s, training: bool, mask=None):
+    """Torch BatchNorm1d. Returns (y, new_state).
+
+    mask (optional [B] 0/1 f32): row weights for the batch statistics.
+    Wrap-padded partial batches pass the real-row mask so the stats equal
+    those of the true smaller batch the reference feeds (model.py:303) —
+    padded duplicate rows contribute nothing. With mask=None (or all ones)
+    this is plain torch train-mode BN."""
     if training:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)                      # biased, for normalize
-        m = x.shape[0]
-        unbiased = var * (m / max(m - 1, 1))          # for running stats
+        if mask is None:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)                  # biased, for normalize
+            m = x.shape[0]
+            unbiased = var * (m / max(m - 1, 1))      # for running stats
+        else:
+            m = jnp.maximum(mask.sum(), 1.0)
+            mean = (x * mask[:, None]).sum(0) / m
+            var = (((x - mean) ** 2) * mask[:, None]).sum(0) / m
+            unbiased = var * (m / jnp.maximum(m - 1.0, 1.0))
         new_s = {
             "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
@@ -116,10 +128,11 @@ def _dropout(key, x, rate: float, training: bool):
 
 
 def apply_mlp(params, state, cfg: MLPConfig, x, *, key=None,
-              training: bool = False):
+              training: bool = False, batch_mask=None):
     """Forward pass. Returns (logits, new_state).
 
-    `key` is required when training with dropout.
+    `key` is required when training with dropout. `batch_mask` ([B] 0/1)
+    marks real rows for BN statistics on wrap-padded partial batches.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -131,7 +144,7 @@ def apply_mlp(params, state, cfg: MLPConfig, x, *, key=None,
         x = jax.lax.stop_gradient(_node_normalize(x))
     if cfg.use_bn:
         x, new_bn_state[0] = _batchnorm(
-            x, params["bns"][0], state["bns"][0], training)
+            x, params["bns"][0], state["bns"][0], training, batch_mask)
     x = _dropout(keys[0], x, cfg.input_droprate, training)
     x = x @ params["fcs"][0]["w"] + params["fcs"][0]["b"]
 
@@ -141,7 +154,7 @@ def apply_mlp(params, state, cfg: MLPConfig, x, *, key=None,
             x = _node_normalize(x)
         if cfg.use_bn:
             x, new_bn_state[i] = _batchnorm(
-                x, params["bns"][i], state["bns"][i], training)
+                x, params["bns"][i], state["bns"][i], training, batch_mask)
         x = _dropout(keys[i], x, cfg.hidden_droprate, training)
         x = x @ params["fcs"][i]["w"] + params["fcs"][i]["b"]
 

@@ -188,6 +188,8 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                                 + cfg.unlabel_batch_size), np.int32)
             labels_np = np.empty((n_steps, cfg.batch_size), np.int32)
             masks_np = np.empty((n_steps, cfg.batch_size), np.float32)
+            umasks_np = np.empty((n_steps, cfg.unlabel_batch_size),
+                                 np.float32)
             for i, start in enumerate(range(0, len(order_perm),
                                             cfg.batch_size)):
                 sel = order_perm[start: start + cfg.batch_size]
@@ -195,14 +197,16 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                 # unlabeled batch: uniform subsample (reference model.py:107-113)
                 un_sel = rng.permutation(len(sample_positions))[
                     : cfg.unlabel_batch_size]
-                un_idx, _ = pad_batch(un_sel, cfg.unlabel_batch_size)
+                un_idx, un_mask = pad_batch(un_sel, cfg.unlabel_batch_size)
                 rows_np[i] = np.concatenate([train_positions[tr_idx],
                                              sample_positions[un_idx]])
                 labels_np[i] = train_labels_all[tr_idx]
                 masks_np[i] = label_mask
+                umasks_np[i] = un_mask
             rows_e = jnp.asarray(rows_np)
             labels_e = jnp.asarray(labels_np)
             masks_e = jnp.asarray(masks_np)
+            umasks_e = jnp.asarray(umasks_np)
             key, sub = jax.random.split(key)
             keys_e = jax.random.split(sub, n_steps)
             nb_e = jnp.arange(num_batch, num_batch + n_steps, dtype=jnp.float32)
@@ -220,13 +224,15 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                         params, state, opt_state,
                         {"rows": rows_e[i0: i0 + k],
                          "labels": labels_e[i0: i0 + k],
-                         "label_mask": masks_e[i0: i0 + k]},
+                         "label_mask": masks_e[i0: i0 + k],
+                         "unlabel_mask": umasks_e[i0: i0 + k]},
                         keys_e[i0: i0 + k], nb_e[i0: i0 + k], *step_operands)
                     last_loss = ms["loss"][-1]
                 else:
                     for i in range(i0, i0 + k):
                         batch = {"rows": rows_e[i], "labels": labels_e[i],
-                                 "label_mask": masks_e[i]}
+                                 "label_mask": masks_e[i],
+                                 "unlabel_mask": umasks_e[i]}
                         if batch_transform is not None:
                             batch = batch_transform(batch)
                         params, state, opt_state, metrics = step_fn(

@@ -56,9 +56,10 @@ def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformati
 
 
 def _forward_k(params, state, cfg: StepConfig, features, cols, vals, key,
-               training: bool):
+               training: bool, batch_mask=None):
     """K augmented forwards with sequential BN state threading.
-    Returns (log_probs [K, B, C], new_state)."""
+    Returns (log_probs [K, B, C], new_state). batch_mask marks real rows
+    for BN statistics on wrap-padded partial batches."""
     keys = jax.random.split(key, cfg.k_aug)
     feats = jnp.take(features, cols, axis=0)              # [B, Ktop, F]
     b = feats.shape[0]
@@ -79,7 +80,8 @@ def _forward_k(params, state, cfg: StepConfig, features, cols, vals, key,
                             training=training)
         x = jax.lax.stop_gradient(x)   # reference detaches the augmentation
         logits, carry_state = apply_mlp(params, carry_state, cfg.mlp, x,
-                                        key=k_mlp, training=training)
+                                        key=k_mlp, training=training,
+                                        batch_mask=batch_mask)
         return carry_state, jax.nn.log_softmax(logits, axis=-1)
 
     if not cfg.mlp.use_bn and not cfg.pallas_dropnode:
@@ -116,13 +118,22 @@ def build_train_step(cfg: StepConfig, optimizer) -> Callable:
                 num_batch):
         cols = jnp.take(tk_cols, batch["rows"], axis=0)   # [B, Ktop]
         vals = jnp.take(tk_vals, batch["rows"], axis=0)
-        logps, new_state = _forward_k(
-            params, state, cfg, features, cols, vals, key, training=True)
         nt = cfg.n_train
+        # real-row mask over the whole batch: the reference feeds the true
+        # smaller batch (model.py:303); we wrap-pad to a static shape and
+        # weight the padding out of BN stats and the consistency loss
+        um = batch.get("unlabel_mask")
+        if um is None:
+            um = jnp.ones(cols.shape[0] - nt, jnp.float32)
+        bmask = jnp.concatenate([batch["label_mask"], um])
+        logps, new_state = _forward_k(
+            params, state, cfg, features, cols, vals, key, training=True,
+            batch_mask=bmask if cfg.mlp.use_bn else None)
         sup = _masked_nll(logps[:, :nt], batch["labels"], batch["label_mask"])
         # warmup ramp: min(lam, lam * num_batch / warmup), model.py:329
         ramp = jnp.minimum(cfg.lam, cfg.lam * num_batch / cfg.warmup)
-        unsup = consis_loss(logps[:, nt:], cfg.tem, cfg.conf, cfg.loss_kind)
+        unsup = consis_loss(logps[:, nt:], cfg.tem, cfg.conf, cfg.loss_kind,
+                            row_mask=um)
         loss = sup + ramp * unsup
         # train accuracy on the last augmentation (reference model.py:331)
         preds = jnp.argmax(logps[-1, :nt], axis=-1)

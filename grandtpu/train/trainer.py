@@ -7,9 +7,9 @@ Reproduces reference ``main`` (``model.py:227-373``) around the jitted step:
   full-graph propagation test with the best weights.
 
 All shapes entering jit are static: partial train batches are padded with
-duplicated rows and masked out of the loss (documented divergence: with BN
-on, duplicated rows re-weight batch statistics slightly on the final
-partial batch of each epoch; the reference feeds the smaller batch instead).
+duplicated rows and masked out of the loss, BN batch statistics, and the
+consistency loss (mask-weighted BN in ``nn/mlp.py``), so every step is
+numerically identical to the reference feeding the true smaller batch.
 """
 
 from __future__ import annotations

@@ -44,7 +44,7 @@ def _build_sparse_steps(mlp_cfg: MLPConfig, cfg: GrandConfig, optimizer,
     conf = cfg.resolve_conf(n_class)
 
     def forward_k(params, state, attr_cols, attr_vals, tk_cols, tk_vals,
-                  rows, key, training):
+                  rows, key, training, batch_mask=None):
         cols = jnp.take(tk_cols, rows, axis=0)         # [B, Ktop]
         vals = jnp.take(tk_vals, rows, axis=0)
         b_attr_cols = jnp.take(attr_cols, cols, axis=0)  # [B, Ktop, P]
@@ -61,7 +61,7 @@ def _build_sparse_steps(mlp_cfg: MLPConfig, cfg: GrandConfig, optimizer,
                             training=training)          # [B, H]; no detach
             logits, carry_state = apply_mag_head(
                 params, carry_state, mlp_cfg, x, key=k_head,
-                training=training)
+                training=training, batch_mask=batch_mask)
             return carry_state, jax.nn.log_softmax(logits, axis=-1)
 
         new_state, logps = jax.lax.scan(one_aug, state, keys)
@@ -69,17 +69,25 @@ def _build_sparse_steps(mlp_cfg: MLPConfig, cfg: GrandConfig, optimizer,
 
     def loss_fn(params, state, attr_cols, attr_vals, tk_cols, tk_vals,
                 batch, key, num_batch):
+        nt = cfg.batch_size
+        # real-row mask: padding drops out of BN stats + consistency loss
+        # (the reference feeds the true smaller batch, model_mag.py:303)
+        um = batch.get("unlabel_mask")
+        if um is None:
+            um = jnp.ones(batch["rows"].shape[0] - nt, jnp.float32)
+        bmask = jnp.concatenate([batch["label_mask"], um])
         logps, new_state = forward_k(
             params, state, attr_cols, attr_vals, tk_cols, tk_vals,
-            batch["rows"], key, True)
-        nt = cfg.batch_size
+            batch["rows"], key, True,
+            batch_mask=bmask if cfg.use_bn else None)
         picked = jnp.take_along_axis(
             logps[:, :nt], batch["labels"][None, :, None], axis=-1)[..., 0]
         mask = batch["label_mask"]
         sup = (-(picked * mask[None]).sum(-1)
                / jnp.maximum(mask.sum(), 1.0)).mean()
         ramp = jnp.minimum(1.0, num_batch / cfg.warmup) * cfg.lam
-        unsup = consis_loss(logps[:, nt:], cfg.tem, conf, cfg.loss)
+        unsup = consis_loss(logps[:, nt:], cfg.tem, conf, cfg.loss,
+                            row_mask=um)
         return sup + ramp * unsup, new_state
 
     @jax.jit

@@ -163,3 +163,38 @@ def test_linear_init_distribution():
     bound = 1 / np.sqrt(400)
     assert w.min() >= -bound and w.max() <= bound
     assert w.std() > bound * 0.5  # roughly uniform, not collapsed
+
+
+def test_masked_batchnorm_equals_true_smaller_batch():
+    """Mask-weighted BN on a wrap-padded batch must produce the SAME batch
+    statistics, normalized outputs (real rows), and running-stat updates as
+    torch BatchNorm1d fed the true smaller batch (the reference feeds the
+    smaller batch directly, model.py:303)."""
+    from grandtpu.nn.mlp import _batchnorm
+
+    rs = np.random.RandomState(0)
+    d, n_real, n_pad = 7, 5, 8
+    x_real = rs.randn(n_real, d).astype(np.float32)
+    # wrap-padding duplicates leading rows (train/loop.py pad_batch)
+    x_pad = np.tile(x_real, (2, 1))[:n_pad]
+    mask = np.array([1.0] * n_real + [0.0] * (n_pad - n_real), np.float32)
+
+    scale = rs.rand(d).astype(np.float32) + 0.5
+    bias = rs.randn(d).astype(np.float32)
+    p = {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}
+    s = {"mean": jnp.zeros(d), "var": jnp.ones(d)}
+
+    y, new_s = _batchnorm(jnp.asarray(x_pad), p, s, training=True,
+                          mask=jnp.asarray(mask))
+
+    bn = torch.nn.BatchNorm1d(d, momentum=0.1)
+    bn.weight.data = torch.tensor(scale)
+    bn.bias.data = torch.tensor(bias)
+    bn.train()
+    want = bn(torch.tensor(x_real)).detach().numpy()
+
+    np.testing.assert_allclose(np.asarray(y[:n_real]), want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_s["mean"]),
+                               bn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_s["var"]),
+                               bn.running_var.numpy(), atol=1e-6)
