@@ -122,22 +122,30 @@ def cmd_predict(args) -> int:
     params, state, _, meta = load_checkpoint(
         args.ckpt, params_template=tmpl_params, state_template=tmpl_state)
 
+    mesh = None
+    if cfg.num_devices > 1:
+        # multi-chip serving: row-partitioned shard_map propagation (halo
+        # or all_gather exchange, chosen by measured comm compression)
+        from grandtpu.dist import make_mesh
+        mesh = make_mesh(n_data=cfg.num_devices, n_model=1)
     if sparse:
         import jax.numpy as jnp
         padded = PaddedFeatures.from_csr(data.features)
+        propagate = None
+        if mesh is not None:
+            from grandtpu.dist import dist_exact_propagate
+            propagate = lambda embs: dist_exact_propagate(  # noqa: E731
+                mesh, adj_sl, embs, mode=cfg.prop_mode, order=cfg.order,
+                alpha=cfg.alpha)
         logits = predict_logits_sparse(
             params, state, mlp_cfg, jnp.asarray(padded.attr_cols),
             jnp.asarray(padded.attr_vals), adj_sl, mode=cfg.prop_mode,
-            order=cfg.order, alpha=cfg.alpha)
+            order=cfg.order, alpha=cfg.alpha, propagate=propagate)
     else:
-        if cfg.num_devices > 1:
-            # multi-chip serving: row-partitioned shard_map propagation
-            from grandtpu.dist import (ShardedGraph, make_mesh,
-                                       sharded_propagate)
-            mesh = make_mesh(n_data=cfg.num_devices, n_model=1)
-            g = ShardedGraph.build(adj_sl, num_shards=cfg.num_devices)
-            prop = sharded_propagate(
-                mesh, g, np.asarray(data.features, np.float32),
+        if mesh is not None:
+            from grandtpu.dist import dist_exact_propagate
+            prop = dist_exact_propagate(
+                mesh, adj_sl, np.asarray(data.features, np.float32),
                 mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
         else:
             prop = exact_propagate(adj_sl, np.asarray(data.features),

@@ -83,67 +83,69 @@ class HaloShardedGraph:
 
     @staticmethod
     def build(adj: sp.spmatrix, num_shards: int) -> "HaloShardedGraph":
+        """One vectorized group-by pass over the edge list: O(E log E)
+        total (a single np.unique on a composite (receiver, owner, col)
+        key), independent of shard count — the r1 version ran an O(S^2)
+        loop of boolean masks over the full edge array."""
         adj = adj.tocsr()
         n = adj.shape[0]
-        rows_per = -(-n // num_shards)
+        S = num_shards
+        rows_per = -(-n // S)
         deg = np.asarray(adj.sum(1)).flatten()
         dinv = (1.0 / np.maximum(deg, 1e-12)).astype(np.float32)
 
         coo = adj.tocoo()  # row-major sorted: filtered splits stay sorted
-        shard_of_row = coo.row // rows_per
-        shard_of_col = coo.col // rows_per
+        row = coo.row.astype(np.int64)
+        col = coo.col.astype(np.int64)
+        d_of = row // rows_per          # receiver shard (row owner)
+        s_of = col // rows_per          # column owner shard
+        vals = (coo.data * dinv[row]).astype(np.float32)
+        local_r = (row - d_of * rows_per).astype(np.int32)
+        local_c = (col - s_of * rows_per).astype(np.int32)
 
-        # per (receiver d, owner s!=d): unique needed local column ids.
         # own-shard columns never cross the interconnect — they form the
-        # diagonal block read straight from x_local.
-        needed: list[list[np.ndarray]] = []
-        c_max = 1
-        for d in range(num_shards):
-            row_mask = shard_of_row == d
-            per_owner = []
-            for s in range(num_shards):
-                if s == d:
-                    per_owner.append(np.empty(0, np.int64))
-                    continue
-                m = row_mask & (shard_of_col == s)
-                uniq = np.unique(coo.col[m]) - s * rows_per
-                per_owner.append(uniq.astype(np.int64))
-                c_max = max(c_max, uniq.shape[0])
-            needed.append(per_owner)
+        # diagonal block read straight from x_local
+        halo_m = d_of != s_of
 
-        send_idx = np.zeros((num_shards, num_shards, c_max), np.int32)
-        for d in range(num_shards):
-            for s in range(num_shards):
-                u = needed[d][s]
-                send_idx[s, d, : u.shape[0]] = u  # owner s -> receiver d
+        # per (receiver d, owner s): unique needed local column ids, all
+        # pairs at once via one sorted-unique over the composite key
+        pair = d_of[halo_m] * S + s_of[halo_m]
+        key = pair * rows_per + local_c[halo_m]
+        uniq, inv = np.unique(key, return_inverse=True)
+        upair = uniq // rows_per
+        ulc = (uniq % rows_per).astype(np.int32)
+        counts = np.bincount(upair, minlength=S * S)
+        c_max = max(int(counts.max()) if uniq.size else 0, 1)
+        starts = np.zeros(S * S + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        # position of each unique col within its (d, s) group (groups are
+        # contiguous in the sorted unique array)
+        pos_in_group = np.arange(uniq.size, dtype=np.int64) - starts[upair]
 
-        diag_edges, halo_edges = [], []
-        for d in range(num_shards):
-            m = shard_of_row == d
-            r = (coo.row[m] - d * rows_per).astype(np.int32)
-            v = (coo.data[m] * dinv[coo.row[m]]).astype(np.float32)
-            owners = shard_of_col[m]
-            local_cols = coo.col[m] - owners * rows_per
+        send_idx = np.zeros((S, S, c_max), np.int32)
+        du = (upair // S).astype(np.int64)
+        su = (upair % S).astype(np.int64)
+        send_idx[su, du, pos_in_group] = ulc  # owner s -> receiver d
 
-            md = owners == d
-            diag_edges.append((r[md], local_cols[md].astype(np.int32),
-                               v[md]))
+        # per-edge remap into the [S, C_max] receive-buffer coordinates
+        remapped = (s_of[halo_m] * c_max + pos_in_group[inv]).astype(np.int32)
 
-            mh = ~md
-            rh, vh = r[mh], v[mh]
-            own_h, lc_h = owners[mh], local_cols[mh]
-            remapped = np.empty(rh.shape[0], np.int32)
-            for s in range(num_shards):
-                ms = own_h == s
-                if s == d or not ms.any():
-                    continue
-                # position of each needed local col in the (d,s) halo list
-                pos = np.searchsorted(needed[d][s], lc_h[ms])
-                remapped[ms] = (s * c_max + pos).astype(np.int32)
-            halo_edges.append((rh, remapped, vh))
+        # split both edge sets at the shard boundaries (row-sorted, so the
+        # per-shard slices are contiguous; sortedness survives filtering,
+        # which .at[].add(indices_are_sorted=True) relies on)
+        def shard_slices(d_filtered, *arrays):
+            bounds = np.searchsorted(d_filtered, np.arange(S + 1))
+            return [tuple(a[bounds[d]: bounds[d + 1]] for a in arrays)
+                    for d in range(S)]
 
-        rows_d, cols_d, vals_d = _pad_edges(diag_edges, num_shards, rows_per)
-        rows_h, cols_h, vals_h = _pad_edges(halo_edges, num_shards, rows_per)
+        diag_m = ~halo_m
+        diag_edges = shard_slices(d_of[diag_m], local_r[diag_m],
+                                  local_c[diag_m], vals[diag_m])
+        halo_edges = shard_slices(d_of[halo_m], local_r[halo_m],
+                                  remapped, vals[halo_m])
+
+        rows_d, cols_d, vals_d = _pad_edges(diag_edges, S, rows_per)
+        rows_h, cols_h, vals_h = _pad_edges(halo_edges, S, rows_per)
         return HaloShardedGraph(
             rows_d, cols_d, vals_d, rows_h, cols_h, vals_h,
             jnp.asarray(send_idx), n, rows_per, c_max)

@@ -164,3 +164,31 @@ def _sharded_prop(mesh, axis, mode, order, alpha, rows_l_in, cols_in,
         return out
 
     return prop(rows_l_in, cols_in, vals_in, dinv_in, x_sharded)
+
+
+def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,
+                         mode: str = "ppr", order: int = 10,
+                         alpha: float = 0.2, axis: str = "data",
+                         halo_threshold: float = 0.5) -> np.ndarray:
+    """Row-partitioned full-graph exact propagation (the reference's test
+    HOT LOOP #3, ``model.py:186-210``), choosing the exchange pattern by
+    the measured comm-compression ratio: the halo variant moves
+    S*C_max rows per iteration vs all of X for all_gather, so it wins
+    exactly when ``compression < halo_threshold`` (high shard counts /
+    sparse boundaries); otherwise the all_gather variant's single fused
+    collective is faster. Both trainers route their final test-time
+    propagation here when ``num_devices > 1``."""
+    from grandtpu.dist.halo import HaloPropagator, HaloShardedGraph
+
+    num_shards = int(mesh.shape[axis])
+    if num_shards == 1:
+        from grandtpu.infer import exact_propagate
+        return np.asarray(exact_propagate(adj_sl, features, mode=mode,
+                                          order=order, alpha=alpha))
+    hg = HaloShardedGraph.build(adj_sl, num_shards=num_shards)
+    if hg.compression < halo_threshold:
+        return HaloPropagator(mesh, hg, axis)(
+            features, mode=mode, order=order, alpha=alpha)
+    g = ShardedGraph.build(adj_sl, num_shards=num_shards)
+    return sharded_propagate(mesh, g, np.asarray(features, np.float32),
+                             mode=mode, order=order, alpha=alpha, axis=axis)

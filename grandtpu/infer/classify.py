@@ -50,11 +50,15 @@ def test_accuracy(params, state, cfg: MLPConfig, propagated_feats,
 def predict_logits_sparse(params, state, cfg: MLPConfig, attr_cols,
                           attr_vals, adj_sl, *, mode: str = "ppr",
                           order: int = 10, alpha: float = 0.2,
-                          batch_size: int = 10000) -> np.ndarray:
+                          batch_size: int = 10000,
+                          propagate=None) -> np.ndarray:
     """Full-graph logits for the sparse-feature (MAG) model: all-node
     embeddings in chunks -> exact propagation in EMBEDDING space -> head
     (reference ``model_mag.py:192-245``; the memory trick that avoids a
-    dense [n, vocab] matrix)."""
+    dense [n, vocab] matrix).
+
+    propagate: optional override ``embs [n, H] -> propagated [n, H]`` —
+    the sharded trainers pass the row-partitioned mesh operator here."""
     import functools as _ft
 
     import jax as _jax
@@ -79,7 +83,11 @@ def predict_logits_sparse(params, state, cfg: MLPConfig, attr_cols,
         embs[i: i + batch_size] = np.asarray(embed_chunk(
             params, attr_cols[i: i + batch_size],
             attr_vals[i: i + batch_size]))
-    prop = exact_propagate(adj_sl, embs, mode=mode, order=order, alpha=alpha)
+    if propagate is None:
+        prop = exact_propagate(adj_sl, embs, mode=mode, order=order,
+                               alpha=alpha)
+    else:
+        prop = np.asarray(propagate(embs))
     out = np.empty((n, cfg.num_classes), np.float32)
     for i in range(0, n, batch_size):
         out[i: i + batch_size] = np.asarray(head_chunk(

@@ -154,11 +154,19 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
         step_operands=(features, tk_cols, tk_vals))
     best = out["best"]
 
-    # exact full-graph propagation test with the best weights
+    # exact full-graph propagation test with the best weights; with a mesh
+    # this is the memory-critical step (reference HOT LOOP #3,
+    # model.py:186-210) and runs row-partitioned over the devices
     with profile_trace(cfg.profile_dir):
-        prop = exact_propagate(adj_sl, np.asarray(data.features),
-                               mode=cfg.prop_mode, order=cfg.order,
-                               alpha=cfg.alpha)
+        if mesh is not None:
+            from grandtpu.dist import dist_exact_propagate
+            prop = dist_exact_propagate(
+                mesh, adj_sl, np.asarray(data.features, np.float32),
+                mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
+        else:
+            prop = exact_propagate(adj_sl, np.asarray(data.features),
+                                   mode=cfg.prop_mode, order=cfg.order,
+                                   alpha=cfg.alpha)
         test_acc = test_accuracy(best["params"], best["state"], mlp_cfg,
                                  prop, data.idx_test, labels_int)
     total_time = time.time() - t_start

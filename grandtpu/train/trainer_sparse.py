@@ -241,11 +241,20 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     if mesh is not None:
         bp = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bp)
         bs = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bs)
+    # with a mesh, the embedding-space power iteration (the memory-critical
+    # step on MAG-scale graphs, model_mag.py:192-233) runs row-partitioned
+    propagate = None
+    if mesh is not None:
+        from grandtpu.dist import dist_exact_propagate
+        propagate = lambda embs: dist_exact_propagate(  # noqa: E731
+            mesh, adj_sl, embs, mode=cfg.prop_mode, order=cfg.order,
+            alpha=cfg.alpha)
     with profile_trace(cfg.profile_dir):
         logits = predict_logits_sparse(
             bp, bs, mlp_cfg, jnp.asarray(padded.attr_cols),
             jnp.asarray(padded.attr_vals), adj_sl,
-            mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
+            mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha,
+            propagate=propagate)
     preds = logits.argmax(1)
     test_acc = float(np.equal(preds[data.idx_test],
                               labels_int[data.idx_test]).mean())

