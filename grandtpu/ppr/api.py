@@ -38,6 +38,9 @@ def gfpush(adj: sp.spmatrix, sources: np.ndarray, *,
     elif backend == "jax":
         from grandtpu.ppr.jax_push import gfpush_jax
         cols, vals = gfpush_jax(indptr, indices, sources, coef, rmax, k)
+    elif backend == "bucket":
+        from grandtpu.ppr.bucket_push import gfpush_bucketed
+        cols, vals = gfpush_bucketed(indptr, indices, sources, coef, rmax, k)
     elif backend == "numpy":
         cols, vals = gfpush_numpy(indptr, indices, sources, coef, rmax, k)
     else:

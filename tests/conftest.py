@@ -4,18 +4,25 @@ so multi-chip sharding paths run as real SPMD programs on any machine
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-)
+# GRANDTPU_REAL_DEVICE=1 runs the suite against the real accelerator (used
+# to execute the TPU-gated Pallas PRNG tests on hardware); default is the
+# virtual CPU mesh.
+_REAL = os.environ.get("GRANDTPU_REAL_DEVICE") == "1"
+
+if not _REAL:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 # jax may already be imported by pytest plugin autoload, in which case the
 # env var was read too late — force the config directly (backend init is
 # lazy, so this still takes effect as long as no devices were created).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _REAL:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

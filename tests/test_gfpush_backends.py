@@ -85,6 +85,53 @@ def test_jax_sparse_path_matches_native(pushed):
     _assert_row_parity(nc, nv, jc, jv, atol=2e-4, tie_tol=2e-4)
 
 
+@pytest.mark.parametrize("rmax", [0.0, 1e-3, 1e-2])
+def test_bucket_matches_oracle(pushed, rmax):
+    """Bucketed sparse-residue TPU push (VERDICT item 3): exact hop
+    semantics with O(frontier) memory; parity at 3 rmax values."""
+    from grandtpu.ppr.bucket_push import gfpush_bucketed
+    adj, coef, sources = pushed
+    k = 16
+    oc, ov = gfpush_numpy(adj.indptr, adj.indices, sources, coef, rmax, k)
+    bc, bv = gfpush_bucketed(adj.indptr, adj.indices, sources, coef, rmax,
+                             k, block=16)   # several blocks + padded tail
+    atol = max(1e-5, 2.0 * rmax)
+    _assert_row_parity(oc, ov, bc, bv, atol=atol, tie_tol=atol)
+
+
+def test_bucket_dangling_teleport():
+    """A dangling node must return its residue to the source (graph.h:91-93)
+    — build a graph WITHOUT self-loops so dangling nodes exist."""
+    import scipy.sparse as sp
+    rows = np.array([0, 0, 1, 2, 2, 3])
+    cols = np.array([1, 2, 4, 1, 3, 0])
+    adj = sp.csr_matrix((np.ones(6), (rows, cols)), shape=(5, 5))
+    # node 4 is dangling (no out-edges)
+    coef = build_coef("ppr", order=4, alpha=0.3)
+    sources = np.arange(5)
+    from grandtpu.ppr.bucket_push import gfpush_bucketed
+    oc, ov = gfpush_numpy(adj.indptr, adj.indices, sources, coef, 0.0, 5)
+    bc, bv = gfpush_bucketed(adj.indptr, adj.indices, sources, coef, 0.0, 5,
+                             block=8)
+    _assert_row_parity(oc, ov, bc, bv, atol=1e-6, tie_tol=1e-6)
+
+
+def test_bucket_single_mode_zero_coefs():
+    """'single' coefficients are one-hot on the last hop: reserve entries
+    from earlier hops are all zero and must not pollute the top-k."""
+    from grandtpu.ppr.bucket_push import gfpush_bucketed
+    from grandtpu.data import synthetic_graph
+    import scipy.sparse as sp
+    adj, _, _ = synthetic_graph(num_nodes=80, num_classes=3,
+                                num_features=8, seed=7)
+    adj = (adj + sp.eye(80, format="csr")).tocsr()
+    coef = build_coef("single", order=3, alpha=0.0)
+    sources = np.arange(0, 80, 5)
+    oc, ov = gfpush_numpy(adj.indptr, adj.indices, sources, coef, 0.0, 8)
+    bc, bv = gfpush_bucketed(adj.indptr, adj.indices, sources, coef, 0.0, 8)
+    _assert_row_parity(oc, ov, bc, bv, atol=1e-6, tie_tol=1e-6)
+
+
 @pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
 def test_native_deterministic_and_sorted(pushed):
     adj, coef, sources = pushed
