@@ -28,7 +28,8 @@ def build(n=300_000, avg_degree=30, seed=0):
 
 
 def bench_push(n=300_000, n_src=1024, order=10, alpha=0.2, rmax=1e-5,
-               k=64, repeats=3, backends=("native", "jax")):
+               k=64, repeats=3, backends=("native", "bucket"),
+               block=1024):
     from grandtpu.ppr import build_coef
     adj = build(n=n)
     indptr = adj.indptr.astype(np.int32)
@@ -41,6 +42,12 @@ def bench_push(n=300_000, n_src=1024, order=10, alpha=0.2, rmax=1e-5,
             from grandtpu.ppr.native import gfpush_native
             fn = lambda: gfpush_native(indptr, indices, sources, coef,
                                        rmax, k)
+        elif backend == "bucket":
+            from grandtpu.ppr.bucket_push import (BucketPushGraph,
+                                                  gfpush_bucketed)
+            g = BucketPushGraph(indptr, indices, rmax)
+            fn = lambda: gfpush_bucketed(indptr, indices, sources, coef,
+                                         rmax, k, block=block, graph=g)
         else:
             from grandtpu.ppr.jax_push import gfpush_jax
             fn = lambda: gfpush_jax(indptr, indices, sources, coef, rmax,

@@ -4,44 +4,49 @@ The dense formulation (``jax_push.py``) carries [B, n] residues and dies at
 graph scale. This backend keeps, per source row, only the *live* residue
 entries in padded per-row buffers:
 
-    frontier:  ids [B, C] int32 (node id, sentinel = n), vals [B, C] f32
+    ids [B, C] int32 (node id, sentinel n) | vals [B, C] f32 | thr [B, C] f32
 
-and runs the exact GFPush hop semantics (``/root/reference/precompute/
-graph.h:53-131``) as static-shape passes per hop:
+where ``thr`` is each entry's pruning threshold ``rmax * deg(node)``
+(-1 marks a dangling node), carried as a sort payload so hops never gather
+degrees for the whole frontier. The exact GFPush hop semantics
+(``/root/reference/precompute/graph.h:53-131``) run as static-shape passes:
 
 1. **reserve log** — every residue adds ``coef[i] * r`` to its node's
    reserve (graph.h:90); logged as the (ids, coef*vals) pair and deduped
    once at the end (reserve values are never needed mid-push).
-2. **rmax mask** — an entry pushes iff ``r >= rmax * deg(u)`` (graph.h:94);
-   dangling nodes teleport their residue back to the source (graph.h:91-93).
+2. **rmax mask** — an entry pushes iff ``r >= thr`` (graph.h:94); dangling
+   nodes teleport their residue back to the source (graph.h:91-93).
    Everything else is dropped (the residue map is drained every hop).
+   Each hop's compaction orders *emitting* entries (pushing or dangling)
+   first, so the expansion stages touch only a [B, P] prefix — the
+   dominant per-hop costs scale with the pushing set, not the frontier.
 3. **windowed expansion** — pushing entries emit ``deg(u)`` entries
-   ``(nbr, r/deg)``. Neighbor lists are read in contiguous W-wide windows
-   (``lax.gather`` with ``slice_sizes=(W,)``) — W-granular slice reads
-   instead of per-element random gathers, the same trick the SplitCSR SpMM
-   uses for its edge stream. Variable fan-out becomes static shapes via the
-   marker/cummax pattern: scatter each entry's index at its exclusive-
-   cumsum start slot (1-D scatter, indices unique by construction),
-   ``cummax`` fills the gaps.
+   ``(nbr, r/deg, thr[nbr])``. Neighbor ids and thresholds are read as
+   aligned w-wide blocks of precomputed edge tables via the fast 2-D
+   row-gather path (per-element and strided-slice gathers measure 5-200x
+   slower on v5e). Variable fan-out becomes static shapes via the
+   marker/cummax pattern: scatter each prefix entry's index at its
+   exclusive-cumsum start slot (1-D scatter, indices unique by
+   construction), ``cummax`` fills each entry's span; all other per-entry
+   fields ride one packed-record row gather.
 4. **sort + dedup** — per-row ``lax.sort`` by node id (row-batched sorts
-   measure ~4x faster than one flat sort on v5e), then duplicate residues
-   are summed scatter-free: segment totals fall out of a cumsum/cummax
+   measure ~4x faster than one flat sort), then duplicate residues are
+   summed scatter-free: segment totals fall out of a cumsum/cummax
    identity over the sorted values (residues are non-negative, so the
-   running sum is monotone). The rmax test at the next hop therefore sees
-   the *summed* residue, exactly like the reference's hash-map accumulate.
-   Rows are compacted (one extra row sort) only when the unique count
-   shrinks the buffer bucket — deduped shadows otherwise stay as zero-value
-   entries that later passes ignore.
+   running sum is monotone). The rmax test therefore sees the *summed*
+   residue, exactly like the reference's hash-map accumulate. A second
+   key sort compacts emit-first and slices the row buffer to its bucket.
 5. **final top-k** — concat all reserve logs, one more sort+dedup per row,
    then a stable sort by descending value keeps k (graph.h:111-126; only
    v > 0 entries are emitted, ties resolve id-ascending like the oracle).
 
-Row capacities C and expansion window capacities E_w are rounded to
-power-of-two buckets so each shape compiles once. The hop loop is host-side
-Python: the first block of sources runs in *planning* mode (one scalar
-fetch per hop to size the next buckets); subsequent blocks replay the
+All shape buckets (prefix P, expansion blocks E_w, compacted width C) are
+rounded to {1, 1.5}*2^k so each shape compiles once. The hop loop is
+host-side Python: the first block of sources runs in *planning* mode (two
+scalar fetches per hop to size the buckets); subsequent blocks replay the
 recorded plan with zero per-hop syncs and validate overflow flags in one
-batched fetch at block end, replanning only if a block outgrows the plan.
+batched fetch at block end, replanning only if a block outgrows the plan
+(prefix violations are detected on-device from the thr payload alone).
 
 Per-row buffers mean per-row worst-case sizing: a power-law hub multiplies
 one row's E while every other row pads to it. For extreme skew the native
@@ -72,40 +77,49 @@ def _bucket(x: int, lo: int = 128) -> int:
         b *= 2
 
 
-def _entry_plan(ids, vals, indptr, deg, rmax, w):
-    """rmax mask + per-entry ALIGNED edge-block counts for this frontier.
-
-    Neighbor lists are read as w-wide blocks of the edge array aligned to
-    w boundaries, so an entry's list [lo, hi) spans blocks
-    lo//w .. (hi-1)//w (<= deg/w + 1 blocks; the fast 2-D row-gather path
-    needs aligned rows)."""
-    n = deg.shape[0]
-    u_c = jnp.clip(ids, 0, n - 1)
-    deg_e = deg[u_c]
-    lo = indptr[u_c]
+def _emit_mask(vals, thr):
+    """Entries that expand this hop: pushing (summed residue >= rmax*deg)
+    or dangling-teleport (thr < 0). graph.h:91-100."""
     live = vals > 0.0
-    dangling = live & (deg_e == 0)
-    pushable = live & (vals >= rmax * deg_e.astype(jnp.float32)) & ~dangling
-    first_blk = lo // w
-    n_blk = (lo + deg_e - 1) // w - first_blk + 1
+    return live & ((thr < 0) | (vals >= thr))
+
+
+@jax.jit
+def _plan_counts(ids, vals, thr):
+    """(max emitting entries per row, any emitting) — host sizes P."""
+    emit = _emit_mask(vals, thr)
+    per_row = jnp.sum(emit.astype(jnp.int32), axis=1)
+    return jnp.max(per_row)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "p_cap"))
+def _plan_windows(ids, vals, thr, indptr, deg, *, w: int, p_cap: int):
+    """Max per-row expansion block count over the emit-first prefix."""
+    pids = ids[:, :p_cap]
+    pvals = vals[:, :p_cap]
+    pthr = thr[:, :p_cap]
+    n = deg.shape[0]
+    u_c = jnp.clip(pids, 0, n - 1)
+    deg_p = deg[u_c]
+    lo_p = indptr[u_c]
+    live = pvals > 0.0
+    dangling = live & (pthr < 0)
+    pushable = live & ~dangling & (pvals >= pthr)
+    n_blk = (lo_p + deg_p - 1) // w - lo_p // w + 1
     counts_w = jnp.where(pushable, n_blk, jnp.where(dangling, 1, 0))
-    return deg_e, lo, first_blk, dangling, pushable, counts_w
-
-
-@functools.partial(jax.jit, static_argnames=("w",))
-def _plan_totals(ids, vals, indptr, deg, rmax, *, w: int):
-    """Max per-row expansion block count (host sizes the E_w bucket)."""
-    counts_w = _entry_plan(ids, vals, indptr, deg, rmax, w)[-1]
     return jnp.max(jnp.sum(counts_w, axis=1))
 
 
-def _dedup_rows(ids, vals, n):
+def _dedup_rows(ids, vals, thr, n):
     """Rows sorted by id; duplicate ids summed scatter-free (cumsum/cummax
     identity — valid because residues are non-negative, so the running sum
     is monotone). Shadow duplicates keep their id with value 0; callers
-    treat val <= 0 as dead. Returns (ids, vals, max live count per row)."""
+    treat val <= 0 as dead. thr (may be None) rides as payload."""
     b_rows, _ = ids.shape
-    ids, vals = jax.lax.sort((ids, vals), dimension=1, num_keys=1)
+    ops = (ids, vals) if thr is None else (ids, vals, thr)
+    out = jax.lax.sort(ops, dimension=1, num_keys=1)
+    ids, vals = out[0], out[1]
+    thr = out[2] if len(out) == 3 else None
     boundary = jnp.concatenate(
         [jnp.ones((b_rows, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=1)
     cs = jnp.cumsum(vals, axis=1)
@@ -116,40 +130,40 @@ def _dedup_rows(ids, vals, n):
     is_last = jnp.concatenate(
         [boundary[:, 1:], jnp.ones((b_rows, 1), bool)], axis=1)
     out_vals = jnp.where(is_last & (ids != n), cs - seg_base, 0.0)
-    n_live = jnp.max(jnp.sum((out_vals > 0.0).astype(jnp.int32), axis=1))
-    return ids, out_vals, n_live
+    return ids, out_vals, thr
 
 
-@functools.partial(jax.jit, static_argnames=("c_out",))
-def _compact(ids, vals, n, *, c_out: int):
-    """Move live entries to the row prefix (dead entries get sentinel key)
-    and slice to c_out. Correct iff every row has <= c_out live entries."""
-    key = jnp.where(vals > 0.0, ids, n)
-    ids, vals = jax.lax.sort((key, vals), dimension=1, num_keys=1)
-    return ids[:, :c_out], vals[:, :c_out]
+@functools.partial(jax.jit, static_argnames=("p_cap", "e_w", "w"))
+def _hop(ids, vals, thr, indptr, edges2d, thr2d, deg, src, thr_src, n,
+         *, p_cap: int, e_w: int, w: int):
+    """One hop: frontier [B, C] (emit-first ordered) -> frontier [B, e_w*w]
+    (emit-first compacted; callers slice to the c_out bucket via _slice).
 
-
-@functools.partial(jax.jit, static_argnames=("e_w", "w", "compact_to"))
-def _hop(ids, vals, indptr, edges2d, deg, src, rmax, n,
-         *, e_w: int, w: int, compact_to: int):
-    """One hop: frontier [B, C] -> deduped frontier.
-
-    edges2d is the edge array reshaped [ceil(nnz/w), w] — neighbor lists
-    are read as aligned w-wide blocks through the fast 2-D row-gather path
-    (per-element and strided-slice gathers measure 5-200x slower on v5e).
-
-    Output width is e_w*w (compact_to=0) or compact_to. Also returns
-    (n_live, overflow): overflow means the expansion exceeded e_w blocks
-    or the compaction width truncated live entries — outputs are garbage
-    iff overflow, checked host-side.
+    Returns (ids, vals, thr, n_push, n_live, overflow). overflow means the
+    emit-first prefix assumption was violated (an emitting entry sat beyond
+    p_cap) or the expansion exceeded e_w blocks — outputs are garbage iff
+    overflow, checked host-side.
     """
     b_rows, c = ids.shape
+    pids, pvals, pthr = (a[:, :p_cap] for a in (ids, vals, thr))
 
-    deg_e, lo, first_blk, dangling, pushable, counts_w = _entry_plan(
-        ids, vals, indptr, deg, rmax, w)
-    deg_f = deg_e.astype(jnp.float32)
-    push_val = jnp.where(pushable, vals / jnp.where(deg_f == 0, 1.0, deg_f),
-                         jnp.where(dangling, vals, 0.0))
+    # replay safety: any emitting entry beyond the prefix invalidates the
+    # plan (checked from the thr payload alone — no gathers)
+    viol = (jnp.any(_emit_mask(vals[:, p_cap:], thr[:, p_cap:]))
+            if p_cap < c else jnp.bool_(False))
+
+    u_c = jnp.clip(pids, 0, n - 1)
+    deg_p = deg[u_c]
+    lo_p = indptr[u_c]
+    live = pvals > 0.0
+    dangling = live & (pthr < 0)
+    pushable = live & ~dangling & (pvals >= pthr)
+    deg_f = deg_p.astype(jnp.float32)
+    push_val = jnp.where(pushable, pvals / jnp.where(deg_f == 0, 1.0, deg_f),
+                         jnp.where(dangling, pvals, 0.0))
+    first_blk = lo_p // w
+    n_blk = (lo_p + deg_p - 1) // w - first_blk + 1
+    counts_w = jnp.where(pushable, n_blk, jnp.where(dangling, 1, 0))
 
     inc = jnp.cumsum(counts_w, axis=1)
     starts = inc - counts_w                    # exclusive cumsum, per row
@@ -157,14 +171,14 @@ def _hop(ids, vals, indptr, edges2d, deg, src, rmax, n,
     over_e = jnp.max(totals) > e_w
 
     # entry-id per block slot: scatter j at each entry's start (flat 1-D;
-    # live starts are strictly increasing per row and dead entries get
-    # distinct out-of-range positions, so indices are globally unique),
-    # then cummax fills each entry's span
+    # live starts strictly increase per row and dead entries get distinct
+    # out-of-range positions, so indices are globally unique), then cummax
+    # fills each entry's span
     rows_off = jnp.arange(b_rows, dtype=jnp.int32)[:, None] * e_w
     entry_j = jnp.broadcast_to(
-        jnp.arange(c, dtype=jnp.int32)[None, :], (b_rows, c))
+        jnp.arange(p_cap, dtype=jnp.int32)[None, :], (b_rows, p_cap))
     oob = b_rows * e_w + jnp.arange(
-        b_rows * c, dtype=jnp.int32).reshape(b_rows, c)
+        b_rows * p_cap, dtype=jnp.int32).reshape(b_rows, p_cap)
     flat_pos = jnp.where(counts_w > 0,
                          jnp.minimum(rows_off + starts, b_rows * e_w),
                          oob)
@@ -173,16 +187,17 @@ def _hop(ids, vals, indptr, edges2d, deg, src, rmax, n,
                                   mode="drop", unique_indices=True)
     eid = jax.lax.cummax(marker.reshape(b_rows, e_w), axis=1)   # [B, E_w]
 
-    # ONE packed-record row gather for all per-entry fields (16-64B rows
-    # ride the same fast gather path)
+    # ONE packed-record row gather for all per-entry fields (<=32B rows
+    # ride the fast 2-D row-gather path)
+    zero = jnp.zeros_like(lo_p)
     rec = jnp.stack([
-        first_blk, lo, lo + deg_e,
+        first_blk, lo_p, lo_p + deg_p,
         jax.lax.bitcast_convert_type(push_val, jnp.int32),
-        starts, dangling.astype(jnp.int32),
-    ], axis=-1).reshape(b_rows * c, 6)
-    flat_eid = (jnp.arange(b_rows, dtype=jnp.int32)[:, None] * c
+        starts, dangling.astype(jnp.int32), zero, zero,
+    ], axis=-1).reshape(b_rows * p_cap, 8)
+    flat_eid = (jnp.arange(b_rows, dtype=jnp.int32)[:, None] * p_cap
                 + eid).reshape(-1)
-    r = jnp.take(rec, flat_eid, axis=0).reshape(b_rows, e_w, 6)
+    r = jnp.take(rec, flat_eid, axis=0).reshape(b_rows, e_w, 8)
     e_first, e_lo, e_hi = r[..., 0], r[..., 1], r[..., 2]
     pv = jax.lax.bitcast_convert_type(r[..., 3], jnp.float32)
     e_start, tele = r[..., 4], r[..., 5] == 1
@@ -190,8 +205,9 @@ def _hop(ids, vals, indptr, edges2d, deg, src, rmax, n,
     slot = jnp.arange(e_w, dtype=jnp.int32)[None, :]
     blk = e_first + (slot - e_start)                    # aligned block id
     m_blk = edges2d.shape[0]
-    nbrw = jnp.take(edges2d, jnp.clip(blk, 0, m_blk - 1).reshape(-1),
-                    axis=0).reshape(b_rows, e_w, w)
+    blk_c = jnp.clip(blk, 0, m_blk - 1).reshape(-1)
+    nbrw = jnp.take(edges2d, blk_c, axis=0).reshape(b_rows, e_w, w)
+    thrw = jnp.take(thr2d, blk_c, axis=0).reshape(b_rows, e_w, w)
 
     lane = jnp.arange(w, dtype=jnp.int32)[None, None, :]
     epos = jnp.clip(blk, 0, m_blk - 1)[..., None] * w + lane
@@ -199,21 +215,38 @@ def _hop(ids, vals, indptr, edges2d, deg, src, rmax, n,
     slot_ok = (slot < totals[:, None])[..., None]
     tele3 = tele[..., None]
     valid = slot_ok & jnp.where(tele3, lane == 0, in_list)
-    nbr = jnp.where(tele3, src[:, None, None], nbrw)
-    new_ids = jnp.where(valid, nbr, n).astype(jnp.int32)
+    new_ids = jnp.where(
+        valid, jnp.where(tele3, src[:, None, None], nbrw), n
+    ).astype(jnp.int32)
     new_vals = jnp.where(valid, pv[..., None], 0.0)
+    new_thr = jnp.where(tele3, thr_src[:, None, None], thrw)
 
-    out_ids, out_vals, n_live = _dedup_rows(
-        new_ids.reshape(b_rows, e_w * w),
-        new_vals.reshape(b_rows, e_w * w), n)
-    overflow = over_e
-    if compact_to and compact_to < e_w * w:
-        overflow = overflow | (n_live > compact_to)
-        key = jnp.where(out_vals > 0.0, out_ids, n)
-        out_ids, out_vals = jax.lax.sort((key, out_vals), dimension=1,
-                                         num_keys=1)
-        out_ids, out_vals = out_ids[:, :compact_to], out_vals[:, :compact_to]
-    return out_ids, out_vals, n_live, overflow
+    width = e_w * w
+    ids2, vals2, thr2 = _dedup_rows(
+        new_ids.reshape(b_rows, width), new_vals.reshape(b_rows, width),
+        new_thr.reshape(b_rows, width), n)
+
+    # compact emit-first (the next hop's prefix invariant) and slice
+    emit = _emit_mask(vals2, thr2)
+    live2 = vals2 > 0.0
+    key = jnp.where(emit, ids2,
+                    jnp.where(live2, ids2 + (n + 1), 2 * n + 2))
+    key, vals3, thr3 = jax.lax.sort((key, vals2, thr2), dimension=1,
+                                    num_keys=1)
+    ids3 = jnp.where(key <= n, key,
+                     jnp.where(key < 2 * n + 2, key - (n + 1), n))
+    n_push = jnp.max(jnp.sum(emit.astype(jnp.int32), axis=1))
+    n_live = jnp.max(jnp.sum(live2.astype(jnp.int32), axis=1))
+    overflow = viol | over_e
+    return ids3, vals3, thr3, n_push, n_live, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("c_out",))
+def _slice(ids, vals, thr, n_live, *, c_out: int):
+    """Shrink the row buffer to its bucket; flags truncation of live
+    entries (replay overflow)."""
+    return (ids[:, :c_out], vals[:, :c_out], thr[:, :c_out],
+            n_live > c_out)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -221,7 +254,7 @@ def _finalize(ids, vals, n, *, k: int):
     """Dedup the concatenated reserve log and take per-row top-k desc.
     Stable sort by (-val) over id-sorted input → ties id-ascending,
     matching the oracle's stable argsort."""
-    ids, vals, _ = _dedup_rows(ids, vals, n)
+    ids, vals, _ = _dedup_rows(ids, vals, None, n)
     neg, cols = jax.lax.sort((-vals, ids), dimension=1, num_keys=1,
                              is_stable=True)
     vals_k, cols_k = -neg[:, :k], cols[:, :k]
@@ -230,22 +263,59 @@ def _finalize(ids, vals, n, *, k: int):
             jnp.where(keep, vals_k, 0.0))
 
 
+class BucketPushGraph:
+    """Device-resident push tables for one (graph, rmax) pair: CSR indptr,
+    aligned edge-id and edge-threshold tables, degrees — built once, shared
+    by every push call (the training pipeline pushes once per dataset; the
+    bench reuses this to measure the kernel, not the upload)."""
+
+    def __init__(self, indptr: np.ndarray, indices: np.ndarray,
+                 rmax: float, window: int = 8):
+        indptr = np.asarray(indptr, dtype=np.int32)
+        indices = np.asarray(indices, dtype=np.int32)
+        self.n = indptr.shape[0] - 1
+        self.w = window
+        self.rmax = float(rmax)
+        deg = (indptr[1:] - indptr[:-1]).astype(np.int32)
+        pad = (-indices.shape[0]) % window
+        edges2d = np.pad(indices, (0, pad)).reshape(-1, window)
+        self.indptr = jnp.asarray(indptr)
+        self.deg = jnp.asarray(deg)
+        self.edges2d = jnp.asarray(edges2d)
+        # per-edge pruning threshold of the TARGET node; -1 marks dangling
+        deg_t = self.deg[jnp.clip(self.edges2d, 0, self.n - 1)]
+        self.thr2d = jnp.where(deg_t == 0, -1.0,
+                               np.float32(rmax) * deg_t.astype(jnp.float32))
+        self._plans: dict = {}
+
+    def node_thr(self, nodes):
+        d = self.deg[jnp.clip(nodes, 0, self.n - 1)].astype(jnp.float32)
+        return jnp.where(d == 0, -1.0, jnp.float32(self.rmax) * d)
+
+    def plan_for(self, coef: np.ndarray, block: int):
+        key = (coef.tobytes(), block)
+        if key not in self._plans:
+            self._plans[key] = _HopPlan()
+        return self._plans[key]
+
+
 class _HopPlan:
-    """Replay plan for one (graph, coef, rmax, block, window) push run:
-    per hop, the (e_w, c_out) shape buckets recorded by the planning
-    block, or None where the frontier died."""
+    """Replay plan: per hop, the (p_cap, e_w, c_out) shape buckets recorded
+    by the planning block, or None where the frontier died."""
 
     def __init__(self):
         self.caps: list | None = None
 
 
-def _push_block(src, d_indptr, d_edges2d, d_deg, n, coef, rmax_j, k,
-                w, plan, block):
+def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
     """Push one [block]-row block. Returns device (cols, vals) or None if
     the replayed plan overflowed (caller replans)."""
+    n, w = g.n, g.w
     n_hops = coef.shape[0] - 1
     ids = src[:, None].astype(jnp.int32)
     vals = jnp.ones((block, 1), jnp.float32)
+    thr_src = g.node_thr(src)
+    thr = thr_src[:, None]
     logs = []
     flags = []
     planning = plan.caps is None
@@ -255,34 +325,44 @@ def _push_block(src, d_indptr, d_edges2d, d_deg, n, coef, rmax_j, k,
     for i in range(n_hops):
         logs.append((ids, coef[i] * vals))
         if planning:
-            max_tw = int(_plan_totals(ids, vals, d_indptr, d_deg,
-                                      rmax_j, w=w))
-            if max_tw == 0:
+            p_need = int(_plan_counts(ids, vals, thr))
+            if p_need == 0:
                 plan.caps.append(None)
                 ids = None
                 break
-            e_w = _bucket(max_tw, lo=16)
-            ids, vals, n_live, _of = _hop(
-                ids, vals, d_indptr, d_edges2d, d_deg, src, rmax_j, n,
-                e_w=e_w, w=w, compact_to=0)
+            p_cap = min(_bucket(p_need, lo=16), ids.shape[1])
+            if p_cap < ids.shape[1]:
+                # frontier is emit-first ordered: prefix slice is exact
+                pass
+            e_w = _bucket(int(_plan_windows(
+                ids, vals, thr, g.indptr, g.deg, w=w, p_cap=p_cap)), lo=16)
+            ids, vals, thr, n_push, n_live, _of = _hop(
+                ids, vals, thr, g.indptr, g.edges2d, g.thr2d, g.deg, src,
+                thr_src, n, p_cap=p_cap, e_w=e_w, w=w)
             c_out = min(_bucket(int(n_live), lo=128), e_w * w)
-            if c_out < e_w * w:
-                ids, vals = _compact(ids, vals, n, c_out=c_out)
-            plan.caps.append((e_w, c_out))
+            if c_out < ids.shape[1]:
+                ids, vals, thr, _fl = _slice(ids, vals, thr, n_live,
+                                             c_out=c_out)
+            plan.caps.append((p_cap, e_w, c_out))
         else:
             cap = plan.caps[i] if i < len(plan.caps) else None
             if cap is None:
                 # plan says the frontier died here; verify for THIS block
-                if int(_plan_totals(ids, vals, d_indptr, d_deg,
-                                    rmax_j, w=w)) > 0:
+                if int(_plan_counts(ids, vals, thr)) > 0:
                     return None                     # replan
                 ids = None
                 break
-            e_w, c_out = cap
-            ids, vals, _nl, of = _hop(
-                ids, vals, d_indptr, d_edges2d, d_deg, src, rmax_j, n,
-                e_w=e_w, w=w, compact_to=c_out)
+            p_cap, e_w, c_out = cap
+            if p_cap > ids.shape[1]:
+                p_cap = ids.shape[1]
+            ids, vals, thr, _np_, n_live, of = _hop(
+                ids, vals, thr, g.indptr, g.edges2d, g.thr2d, g.deg, src,
+                thr_src, n, p_cap=p_cap, e_w=e_w, w=w)
             flags.append(of)
+            if c_out < ids.shape[1]:
+                ids, vals, thr, fl = _slice(ids, vals, thr, n_live,
+                                            c_out=c_out)
+                flags.append(fl)
     if ids is not None:
         logs.append((ids, coef[n_hops] * vals))
 
@@ -302,39 +382,32 @@ def _push_block(src, d_indptr, d_edges2d, d_deg, n, coef, rmax_j, k,
 def gfpush_bucketed(indptr: np.ndarray, indices: np.ndarray,
                     sources: np.ndarray, coef: np.ndarray, rmax: float,
                     k: int, *, block: int = 1024, window: int = 8,
-                    slot_limit: int = 1 << 27):
+                    slot_limit: int = 1 << 27,
+                    graph: BucketPushGraph | None = None):
     """Run bucketed GFPush over all sources in row blocks of `block`.
 
     Returns numpy (cols int32 [n_src, k], vals float32 [n_src, k]), each row
     sorted by descending reserve value, zero-padded — the same layout as the
     oracle/native backends.
 
-    window: neighbor lists are streamed in `window`-wide contiguous slices
-    (padding overhead < window/avg_degree of the sort width). slot_limit
-    bounds block * E (total expansion slots per hop); exceeding it raises —
-    retry with a smaller block (row fan-out too skewed for per-row
-    buffers).
+    window: neighbor lists are streamed in `window`-wide aligned blocks
+    (sort-width padding < window/avg_degree). slot_limit bounds block * E
+    (total expansion slots per hop); exceeding it raises — retry with a
+    smaller block (row fan-out too skewed for per-row buffers). Pass a
+    prebuilt BucketPushGraph via `graph` to amortize device table builds
+    across calls.
     """
-    indptr = np.asarray(indptr, dtype=np.int32)
-    indices_np = np.asarray(indices, dtype=np.int32)
+    if graph is None:
+        graph = BucketPushGraph(indptr, indices, rmax, window=window)
+    g = graph
     sources = np.asarray(sources, dtype=np.int32)
-    n = indptr.shape[0] - 1
-    deg_np = (indptr[1:] - indptr[:-1]).astype(np.int32)
-    # reshape the edge stream into aligned window-wide blocks (padded tail)
-    pad = (-indices_np.shape[0]) % window
-    edges2d_np = np.pad(indices_np, (0, pad)).reshape(-1, window)
-
-    d_indptr = jnp.asarray(indptr)
-    d_edges2d = jnp.asarray(edges2d_np)
-    d_deg = jnp.asarray(deg_np)
-    rmax_j = jnp.float32(rmax)
     coef = np.asarray(coef, dtype=np.float32)
+    plan = g.plan_for(coef, block)
 
     n_src = sources.shape[0]
     out_cols = np.zeros((n_src, k), dtype=np.int32)
     out_vals = np.zeros((n_src, k), dtype=np.float32)
 
-    plan = _HopPlan()
     start = 0
     while start < n_src:
         b = min(block, n_src - start)
@@ -343,14 +416,12 @@ def gfpush_bucketed(indptr: np.ndarray, indices: np.ndarray,
             src_np = np.concatenate([src_np, np.zeros(block - b, np.int32)])
         src = jnp.asarray(src_np)
 
-        res = _push_block(src, d_indptr, d_edges2d, d_deg, n, coef, rmax_j,
-                          k, window, plan, block)
+        res = _push_block(g, src, coef, k, plan, block)
         if res is None:           # replayed plan overflowed: replan
             plan.caps = None
-            res = _push_block(src, d_indptr, d_edges2d, d_deg, n, coef,
-                              rmax_j, k, window, plan, block)
+            res = _push_block(g, src, coef, k, plan, block)
         if plan.caps:
-            worst = max((c[0] * window * block) for c in plan.caps if c)
+            worst = max((c[1] * g.w * block) for c in plan.caps if c)
             if worst > slot_limit:
                 raise MemoryError(
                     f"gfpush_bucketed: a hop needs {worst} slots "
