@@ -27,11 +27,13 @@ def predict_logits(params, state, cfg: MLPConfig, feats,
     """MLP logits for all rows of `feats` (device array), chunked."""
     n = feats.shape[0]
     out = []
-    # pad the final chunk so every call shares one compiled program
+    # pad every final chunk so ONE compiled program serves any input size
+    # (small inputs included — round 1 compiled a second program when
+    # n <= batch_size)
     for i in range(0, n, batch_size):
         chunk = feats[i: i + batch_size]
         pad = batch_size - chunk.shape[0]
-        if pad > 0 and n > batch_size:
+        if pad > 0:
             chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
         logits = _logits_chunk(params, state, cfg, chunk)
         out.append(np.asarray(logits[: min(batch_size, n - i)]))

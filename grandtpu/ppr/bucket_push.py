@@ -252,12 +252,12 @@ def _slice(ids, vals, thr, n_live, *, c_out: int):
 @functools.partial(jax.jit, static_argnames=("k",))
 def _finalize(ids, vals, n, *, k: int):
     """Dedup the concatenated reserve log and take per-row top-k desc.
-    Stable sort by (-val) over id-sorted input → ties id-ascending,
-    matching the oracle's stable argsort."""
+    lax.top_k over the id-sorted dedup output breaks ties lowest-index
+    first = id-ascending, matching the oracle's stable argsort — and
+    measures 8x faster than a full value sort on v5e."""
     ids, vals, _ = _dedup_rows(ids, vals, None, n)
-    neg, cols = jax.lax.sort((-vals, ids), dimension=1, num_keys=1,
-                             is_stable=True)
-    vals_k, cols_k = -neg[:, :k], cols[:, :k]
+    vals_k, idx = jax.lax.top_k(vals, k)
+    cols_k = jnp.take_along_axis(ids, idx, axis=1)
     keep = vals_k > 0.0
     return (jnp.where(keep, cols_k, 0).astype(jnp.int32),
             jnp.where(keep, vals_k, 0.0))
@@ -307,9 +307,19 @@ class _HopPlan:
         self.caps: list | None = None
 
 
+@jax.jit
+def _any_flags(flags):
+    return jnp.any(jnp.stack(flags))
+
+
 def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
-    """Push one [block]-row block. Returns device (cols, vals) or None if
-    the replayed plan overflowed (caller replans)."""
+    """Push one [block]-row block.
+
+    Returns (cols, vals, bad) — all device arrays, nothing synced. `bad`
+    is a scalar bool (None in planning mode, which syncs per hop anyway):
+    outputs are garbage iff bad, and the caller reruns the block after
+    replanning. Deferring the flag fetch keeps replay blocks fully
+    asynchronous (one d2h round-trip per *call*, not per block)."""
     n, w = g.n, g.w
     n_hops = coef.shape[0] - 1
     ids = src[:, None].astype(jnp.int32)
@@ -331,9 +341,6 @@ def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
                 ids = None
                 break
             p_cap = min(_bucket(p_need, lo=16), ids.shape[1])
-            if p_cap < ids.shape[1]:
-                # frontier is emit-first ordered: prefix slice is exact
-                pass
             e_w = _bucket(int(_plan_windows(
                 ids, vals, thr, g.indptr, g.deg, w=w, p_cap=p_cap)), lo=16)
             ids, vals, thr, n_push, n_live, _of = _hop(
@@ -347,9 +354,9 @@ def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
         else:
             cap = plan.caps[i] if i < len(plan.caps) else None
             if cap is None:
-                # plan says the frontier died here; verify for THIS block
-                if int(_plan_counts(ids, vals, thr)) > 0:
-                    return None                     # replan
+                # plan says the frontier died here; if THIS block still has
+                # emitting entries the plan is stale — flag, don't sync
+                flags.append(_plan_counts(ids, vals, thr) > 0)
                 ids = None
                 break
             p_cap, e_w, c_out = cap
@@ -366,8 +373,6 @@ def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
     if ids is not None:
         logs.append((ids, coef[n_hops] * vals))
 
-    if flags and bool(np.any(np.asarray(jnp.stack(flags)))):
-        return None                                 # replan
     log_ids = jnp.concatenate([li for li, _ in logs], axis=1)
     log_vals = jnp.concatenate([lv for _, lv in logs], axis=1)
     width = log_ids.shape[1]
@@ -376,7 +381,9 @@ def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
         log_ids = jnp.pad(log_ids, ((0, 0), (0, wb - width)),
                           constant_values=n)
         log_vals = jnp.pad(log_vals, ((0, 0), (0, wb - width)))
-    return _finalize(log_ids, log_vals, n, k=k)
+    cols, vals_out = _finalize(log_ids, log_vals, n, k=k)
+    bad = _any_flags(flags) if flags else None
+    return cols, vals_out, bad
 
 
 def gfpush_bucketed(indptr: np.ndarray, indices: np.ndarray,
@@ -408,26 +415,46 @@ def gfpush_bucketed(indptr: np.ndarray, indices: np.ndarray,
     out_cols = np.zeros((n_src, k), dtype=np.int32)
     out_vals = np.zeros((n_src, k), dtype=np.float32)
 
-    start = 0
-    while start < n_src:
-        b = min(block, n_src - start)
+    def block_src(start, b):
         src_np = sources[start:start + b]
         if b < block:   # pad the tail block (cheap; outputs sliced off)
             src_np = np.concatenate([src_np, np.zeros(block - b, np.int32)])
-        src = jnp.asarray(src_np)
+        return jnp.asarray(src_np)
 
-        res = _push_block(g, src, coef, k, plan, block)
-        if res is None:           # replayed plan overflowed: replan
-            plan.caps = None
-            res = _push_block(g, src, coef, k, plan, block)
+    def check_limit():
         if plan.caps:
             worst = max((c[1] * g.w * block) for c in plan.caps if c)
             if worst > slot_limit:
                 raise MemoryError(
                     f"gfpush_bucketed: a hop needs {worst} slots "
                     f"(> {slot_limit}); use a smaller block")
-        cols_b, vals_b = res
+
+    # dispatch blocks without syncing (the plan makes replay blocks pure
+    # device work) and drain outputs + overflow flags behind a small
+    # pipeline window — deep queues would hold every in-flight block's
+    # reserve-log buffers in HBM at once
+    pending = []       # (start, b, cols_dev, vals_dev, bad_dev)
+
+    def drain(item):
+        start, b, cols_b, vals_b, bad = item
+        if bad is not None and bool(np.asarray(bad)):
+            plan.caps = None       # this block outgrew the plan: replan
+            cols_b, vals_b, _ = _push_block(
+                g, block_src(start, b), coef, k, plan, block)
+            check_limit()
         out_cols[start:start + b] = np.asarray(cols_b)[:b]
         out_vals[start:start + b] = np.asarray(vals_b)[:b]
+
+    start = 0
+    while start < n_src:
+        b = min(block, n_src - start)
+        cols_b, vals_b, bad = _push_block(
+            g, block_src(start, b), coef, k, plan, block)
+        check_limit()
+        pending.append((start, b, cols_b, vals_b, bad))
+        if len(pending) > 2:
+            drain(pending.pop(0))
         start += b
+    for item in pending:
+        drain(item)
     return out_cols, out_vals
