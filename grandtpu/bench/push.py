@@ -71,5 +71,23 @@ def bench_push(n=300_000, n_src=1024, order=10, alpha=0.2, rmax=1e-5,
     return results
 
 
+def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=300_000)
+    ap.add_argument("--n-src", type=int, default=1024)
+    ap.add_argument("--order", type=int, default=10)
+    ap.add_argument("--rmax", type=float, default=1e-5)
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--backends", default="native,bucket",
+                    help="comma list: native,bucket,jax")
+    args = ap.parse_args()
+    bench_push(n=args.n, n_src=args.n_src, order=args.order, rmax=args.rmax,
+               k=args.k, repeats=args.repeats, block=args.block,
+               backends=tuple(args.backends.split(",")))
+
+
 if __name__ == "__main__":
-    bench_push()
+    main()
