@@ -175,6 +175,10 @@ def main() -> None:
     ap.add_argument("--out", default=None,
                     help="append the result JSON line to this file")
     args = ap.parse_args()
+    if args.out:
+        # resolve BEFORE the os.chdir below — a relative --out otherwise
+        # raises FileNotFoundError after the whole (hours-long) sweep
+        args.out = os.path.abspath(args.out)
 
     flags = PRESET_FLAGS[(args.dataset, args.prop_mode)].split()
 
