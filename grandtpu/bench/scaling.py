@@ -87,18 +87,21 @@ def bench_halo_build(n=2_000_000, avg_degree=10, num_shards=64):
     Measured r2 on the 2-core host: ~18s for 16M edges / 64 shards,
     send_idx 56MB, compression 0.11 vs all_gather."""
     from grandtpu.data import synthetic_graph
-    from grandtpu.dist import HaloShardedGraph
+    from grandtpu.dist import HaloShardedGraph, estimate_halo_compression
 
     adj, _, _ = synthetic_graph(num_nodes=n, num_classes=8, num_features=4,
                                 avg_degree=avg_degree, seed=0)
     adj = (adj + sp.eye(n, format="csr")).tocsr()
     t0 = time.time()
+    est = estimate_halo_compression(adj, num_shards)
+    decision_s = time.time() - t0
+    t0 = time.time()
     g = HaloShardedGraph.build(adj, num_shards=num_shards)
     dt = time.time() - t0
     row = {"nodes": n, "nnz": int(adj.nnz), "shards": num_shards,
-           "build_s": dt, "c_max": g.halo_per_pair,
+           "build_s": dt, "decision_s": decision_s, "c_max": g.halo_per_pair,
            "send_idx_mb": g.send_idx.size * 4 / 1e6,
-           "compression": g.compression}
+           "compression": g.compression, "compression_est": est}
     print(json.dumps(row), flush=True)
     return row
 

@@ -18,5 +18,5 @@ from grandtpu.dist.push import (  # noqa: F401
     multihost_native_gfpush, push_source_shard, sharded_gfpush,
 )
 from grandtpu.dist.halo import (  # noqa: F401
-    HaloPropagator, HaloShardedGraph,
+    HaloPropagator, HaloShardedGraph, estimate_halo_compression,
 )

@@ -53,6 +53,31 @@ def _pad_edges(per_shard, num_shards, rows_per):
     return jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)
 
 
+def estimate_halo_compression(adj: sp.spmatrix, num_shards: int) -> float:
+    """Exact comm-compression ratio of the halo exchange vs all_gather,
+    WITHOUT building either sharded representation: one np.unique over the
+    off-diagonal (receiver, owner, col) keys — the first (and only
+    O(E log E)) half of ``HaloShardedGraph.build``. Lets
+    ``dist_exact_propagate`` pick halo-vs-all_gather and then build only
+    the chosen graph (r2 built both unconditionally)."""
+    adj = adj.tocsr()
+    n = adj.shape[0]
+    S = num_shards
+    rows_per = -(-n // S)
+    coo = adj.tocoo()
+    row = coo.row.astype(np.int64)
+    col = coo.col.astype(np.int64)
+    d_of = row // rows_per
+    s_of = col // rows_per
+    halo_m = d_of != s_of
+    key = ((d_of[halo_m] * S + s_of[halo_m]) * rows_per
+           + (col[halo_m] - s_of[halo_m] * rows_per))
+    uniq = np.unique(key)
+    counts = np.bincount(uniq // rows_per, minlength=S * S)
+    c_max = max(int(counts.max()) if uniq.size else 0, 1)
+    return (S * c_max) / (rows_per * S)
+
+
 @dataclasses.dataclass(frozen=True)
 class HaloShardedGraph:
     """Row-partitioned D^-1 A split into diagonal + halo edge blocks."""

@@ -176,17 +176,20 @@ def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,
     S*C_max rows per iteration vs all of X for all_gather, so it wins
     exactly when ``compression < halo_threshold`` (high shard counts /
     sparse boundaries); otherwise the all_gather variant's single fused
-    collective is faster. Both trainers route their final test-time
-    propagation here when ``num_devices > 1``."""
-    from grandtpu.dist.halo import HaloPropagator, HaloShardedGraph
+    collective is faster. The ratio comes from the cheap
+    ``estimate_halo_compression`` pass so only ONE sharded representation
+    is ever built. Both trainers route their final test-time propagation
+    here when ``num_devices > 1``."""
+    from grandtpu.dist.halo import (HaloPropagator, HaloShardedGraph,
+                                    estimate_halo_compression)
 
     num_shards = int(mesh.shape[axis])
     if num_shards == 1:
         from grandtpu.infer import exact_propagate
         return np.asarray(exact_propagate(adj_sl, features, mode=mode,
                                           order=order, alpha=alpha))
-    hg = HaloShardedGraph.build(adj_sl, num_shards=num_shards)
-    if hg.compression < halo_threshold:
+    if estimate_halo_compression(adj_sl, num_shards) < halo_threshold:
+        hg = HaloShardedGraph.build(adj_sl, num_shards=num_shards)
         return HaloPropagator(mesh, hg, axis)(
             features, mode=mode, order=order, alpha=alpha)
     g = ShardedGraph.build(adj_sl, num_shards=num_shards)

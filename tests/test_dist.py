@@ -234,6 +234,23 @@ def test_halo_compression_wins_when_sparse():
         f"expected halo win on sparse graph, got {g.compression:.2f}")
 
 
+@pytest.mark.parametrize("avg_degree,shards", [(3, 8), (12, 4), (3, 2)])
+def test_estimate_halo_compression_matches_build(avg_degree, shards):
+    """The cheap pre-build estimator equals the ratio the full build
+    reports — dist_exact_propagate's dispatch builds only one graph."""
+    from grandtpu.dist.halo import (HaloShardedGraph,
+                                    estimate_halo_compression)
+    from grandtpu.data import synthetic_graph
+    import scipy.sparse as sp
+    adj, _, _ = synthetic_graph(num_nodes=1000, num_classes=4,
+                                num_features=4, avg_degree=avg_degree,
+                                seed=3)
+    adj = (adj + sp.eye(1000, format="csr")).tocsr()
+    est = estimate_halo_compression(adj, shards)
+    g = HaloShardedGraph.build(adj, num_shards=shards)
+    assert est == pytest.approx(g.compression)
+
+
 def test_multihost_push_shards_union_to_full(graph_feats):
     """Rank-emulated source shards concatenate to the full native run,
     and the single-process wrapper degenerates to it exactly."""
