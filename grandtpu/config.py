@@ -70,7 +70,10 @@ class GrandConfig:
     # engine selection (new in grandtpu; reference dispatches on dataset name
     # at run_model.py:87-90)
     sparse_features: bool = False  # MAG-style embedding input path
-    push_backend: str = "auto"     # 'auto' | 'native' | 'jax' | 'numpy'
+    push_backend: str = "auto"     # 'auto' | 'native' | 'bucket' | 'jax'
+    #                                | 'numpy'; auto = TPU bucket push at
+    #                                scale (ppr/api.py:_auto_backend), else
+    #                                native host kernel
     pallas_dropnode: bool = False  # fused Pallas DropNode kernel (TPU only)
     scan_steps: bool = False       # roll steps between evals into one
     #                                lax.scan dispatch. Opt-in: per-step

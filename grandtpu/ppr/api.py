@@ -11,9 +11,50 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+import os
+
 from grandtpu.ppr.coef import build_coef
 from grandtpu.ppr.oracle import gfpush_numpy
 from grandtpu.sparse.topk import TopKProp
+
+# Measured push throughputs (RESULTS.md, one v5e + this host's cores).
+# The native kernel's per-core rate falls off with graph size as its
+# hash-map accumulators leave cache (1745 src/s at 9.3M nnz -> 653 at 62M
+# on 2 cores); the bucketed TPU backend is ~n-independent. 'auto' picks
+# bucket exactly when the model says the host kernel would be slower.
+_BUCKET_SPS = 700.0            # v5e flat rate (order-10 ppr, k=64)
+_NATIVE_SPS_PER_CORE = 872.0   # at the 9.3M-nnz reference point
+_NATIVE_REF_NNZ = 9.3e6
+_NATIVE_CACHE_EXP = 0.483      # sps ~ nnz^-0.483 (fit through both points)
+_BUCKET_MIN_SOURCES = 4096     # planning compiles are ~minutes through the
+#                                tunnel; don't pay them for small pushes
+
+
+def _accelerator_present() -> bool:
+    try:
+        import jax
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def _auto_backend(nnz: int, n_src: int) -> str:
+    """Policy for backend='auto' (VERDICT r2 #3): the TPU bucket push when
+    an accelerator is attached, the push is large enough to amortize its
+    planning compiles, and the measured throughput model says the host
+    kernel would be slower; else native; else the numpy oracle."""
+    forced = os.environ.get("GRANDTPU_PUSH_BACKEND")
+    if forced:
+        return forced
+    from grandtpu.ppr.native import native_available
+    native = native_available()
+    if n_src >= _BUCKET_MIN_SOURCES and _accelerator_present():
+        cores = os.cpu_count() or 1
+        native_sps = (cores * _NATIVE_SPS_PER_CORE
+                      * (max(nnz, 1) / _NATIVE_REF_NNZ) ** -_NATIVE_CACHE_EXP)
+        if not native or _BUCKET_SPS > native_sps:
+            return "bucket"
+    return "native" if native else "numpy"
 
 
 def gfpush(adj: sp.spmatrix, sources: np.ndarray, *,
@@ -28,8 +69,7 @@ def gfpush(adj: sp.spmatrix, sources: np.ndarray, *,
     coef = build_coef(prop_mode, order, alpha)
 
     if backend == "auto":
-        from grandtpu.ppr.native import native_available
-        backend = "native" if native_available() else "numpy"
+        backend = _auto_backend(int(adj.nnz), int(sources.shape[0]))
 
     if backend == "native":
         from grandtpu.ppr.native import gfpush_native

@@ -152,3 +152,43 @@ def test_api_dispatch(pushed):
     assert tk.num_nodes == adj.shape[0]
     # dangling-free graph: row mass <= 1
     assert tk.vals.sum(1).max() <= 1.0 + 1e-6
+
+
+def test_auto_backend_policy(monkeypatch):
+    """'auto' selects the TPU bucket push exactly when an accelerator is
+    attached AND the push is large enough to amortize planning AND the
+    measured throughput model predicts the host kernel loses (VERDICT r2
+    #3b); CPU-only / small pushes stay on native."""
+    from grandtpu.ppr import api
+
+    monkeypatch.setattr(api, "_accelerator_present", lambda: True)
+    monkeypatch.setattr("grandtpu.ppr.native.native_available", lambda: True)
+    monkeypatch.setattr(api.os, "cpu_count", lambda: 2)
+    big_nnz = 80_000_000      # past the measured 2-core crossover
+    small_nnz = 7_000_000     # Amazon2M-synth scale: native is ~10x faster
+    assert api._auto_backend(big_nnz, 16384) == "bucket"
+    assert api._auto_backend(small_nnz, 16384) == "native"
+    # too few sources to amortize the planning compiles
+    assert api._auto_backend(big_nnz, 512) == "native"
+    # no accelerator: never bucket
+    monkeypatch.setattr(api, "_accelerator_present", lambda: False)
+    assert api._auto_backend(big_nnz, 16384) == "native"
+    # explicit override wins
+    monkeypatch.setenv("GRANDTPU_PUSH_BACKEND", "numpy")
+    assert api._auto_backend(big_nnz, 16384) == "numpy"
+
+
+def test_auto_backend_end_to_end_bucket(pushed, monkeypatch):
+    """gfpush(backend='auto') routed to bucket produces the oracle layout
+    (runs the real bucket kernel on the test backend)."""
+    from grandtpu.ppr import api
+    adj, coef, sources = pushed
+    monkeypatch.setattr(api, "_accelerator_present", lambda: True)
+    monkeypatch.setattr(api, "_BUCKET_MIN_SOURCES", 1)
+    monkeypatch.setattr(api, "_BUCKET_SPS", float("inf"))
+    tk = gfpush(adj, sources, prop_mode="ppr", order=6, alpha=0.25,
+                rmax=1e-4, k=16, backend="auto")
+    want = gfpush(adj, sources, prop_mode="ppr", order=6, alpha=0.25,
+                  rmax=1e-4, k=16, backend="numpy")
+    np.testing.assert_array_equal(tk.cols, want.cols)
+    np.testing.assert_allclose(tk.vals, want.vals, rtol=1e-5, atol=1e-7)
