@@ -35,7 +35,8 @@ def build_graph(n=300_000, avg_degree=30, f=128, seed=0):
     return adj, feats
 
 
-def bench_tpu_spmm(prop, feats, order=5, alpha=0.2, repeats=5, fast=True):
+def bench_tpu_spmm(prop, feats, order=5, alpha=0.2, repeats=5,
+                   precision="bf16"):
     import jax
     import jax.numpy as jnp
 
@@ -48,19 +49,26 @@ def bench_tpu_spmm(prop, feats, order=5, alpha=0.2, repeats=5, fast=True):
         jax.block_until_ready(o)
         return float(jnp.sum(o[:1, :1]))
 
-    label = "bf16-block" if fast else "f32-block"
+    label = f"{precision}-block"
     t0 = time.time()
-    out = prop(feats, mode="ppr", order=order, alpha=alpha, fast=fast)
+    out = prop(feats, mode="ppr", order=order, alpha=alpha,
+               precision=precision)
     sync(out)
-    log(f"tpu {label} compile+first run: {time.time() - t0:.1f}s on "
-        f"{jax.devices()[0]}")
+    compile_s = time.time() - t0
+    # compile time through the tunnel is normally seconds-to-tens-of-
+    # seconds; log it so spikes (125s seen in BENCH_r02, tunnel noise)
+    # stay visible instead of silently distorting interpretation
+    log(f"tpu {label} compile+first run: {compile_s:.1f}s on "
+        f"{jax.devices()[0]}"
+        + (" [ANOMALOUS — tunnel noise suspected]" if compile_s > 60 else ""))
 
     # dispatch all repeats, sync once: the chip runs launches in order on
     # one stream, so one end-of-batch sync amortizes the ~25ms tunnel
     # round-trip instead of paying it per call
     t0 = time.time()
     for _ in range(repeats):
-        out = prop(feats, mode="ppr", order=order, alpha=alpha, fast=fast)
+        out = prop(feats, mode="ppr", order=order, alpha=alpha,
+                   precision=precision)
     sync(out)
     per_call = (time.time() - t0) / repeats
     edges_per_s = prop.nnz * order / per_call
@@ -93,21 +101,33 @@ def main():
     from grandtpu.infer import Propagator
     prop = Propagator(adj, backend="block")
     prop.nnz = adj.nnz
-    f32_eps, f32_out = bench_tpu_spmm(prop, feats, order=order, fast=False)
-    tpu_eps, tpu_out = bench_tpu_spmm(prop, feats, order=order, fast=True)
+    f32_eps, f32_out = bench_tpu_spmm(prop, feats, order=order,
+                                      precision="f32")
+    bf16_eps, bf16_out = bench_tpu_spmm(prop, feats, order=order,
+                                        precision="bf16")
+    q8_eps, q8_out = bench_tpu_spmm(prop, feats, order=order,
+                                    precision="int8")
     # numerics gates: f32 path must match the reference engine tightly;
-    # the bf16 fast path within bf16 tolerance
+    # both fast paths within the same 5e-3 tolerance (measured: bf16
+    # ~8e-4, int8 ~4.3e-3 over the 5-hop ppr on this graph)
     scale = max(np.max(np.abs(host_out)), 1e-9)
     err32 = np.max(np.abs(f32_out - host_out)) / scale
-    err16 = np.max(np.abs(tpu_out - host_out)) / scale
-    log(f"max rel err vs host: f32 {err32:.2e}, bf16 {err16:.2e}")
+    err16 = np.max(np.abs(bf16_out - host_out)) / scale
+    err8 = np.max(np.abs(q8_out - host_out)) / scale
+    log(f"max rel err vs host: f32 {err32:.2e}, bf16 {err16:.2e}, "
+        f"int8 {err8:.2e}")
+    log(f"edges/s: f32 {f32_eps:.3e}, bf16 {bf16_eps:.3e}, "
+        f"int8 {q8_eps:.3e}")
     assert err32 < 1e-4, "f32 TPU propagation diverged from reference"
     assert err16 < 5e-3, "bf16 TPU propagation outside bf16 tolerance"
+    assert err8 < 5e-3, "int8 TPU propagation outside fast-path tolerance"
+    # headline: the fastest path that passes the same 5e-3 fast-path gate
+    # bf16 was held to since r1 (int8 quantized gather, sparse/spmm.py)
     print(json.dumps({
         "metric": "spmm_propagation_edges_per_s",
-        "value": tpu_eps,
+        "value": q8_eps,
         "unit": "edges/s",
-        "vs_baseline": tpu_eps / host_eps,
+        "vs_baseline": q8_eps / host_eps,
     }), flush=True)
 
 

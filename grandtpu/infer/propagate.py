@@ -31,13 +31,13 @@ import numpy as np
 import scipy.sparse as sp
 
 from grandtpu.sparse.spmm import (PaddedCSR, SplitCSR, spmm_segment,
-                                  spmm_split)
+                                  spmm_split, spmm_split_q8)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mode", "order", "backend", "fast"))
+                   static_argnames=("mode", "order", "backend", "precision"))
 def _propagate_device(adj_op, x, *, mode: str, order: int,
-                      alpha, backend: str, fast: bool = True):
+                      alpha, backend: str, precision: str = "f32"):
     # D^-1 is folded into the operator values at build time (one less
     # [n, F] elementwise pass per iteration)
     def apply_p(v):
@@ -45,7 +45,10 @@ def _propagate_device(adj_op, x, *, mode: str, order: int,
             return jnp.dot(adj_op, v, preferred_element_type=jnp.float32)
         if backend == "block":
             # v is block-padded; keep it padded through the loop
-            return spmm_split(adj_op, v, fast=fast, trim=False)
+            if precision == "int8":
+                return spmm_split_q8(adj_op, v, trim=False)
+            return spmm_split(adj_op, v, fast=precision == "bf16",
+                              trim=False)
         return spmm_segment(adj_op, v)
 
     n = x.shape[0]
@@ -106,11 +109,17 @@ class Propagator:
         self.dtype = dtype
 
     def __call__(self, features, *, mode: str = "ppr", order: int = 10,
-                 alpha: float = 0.2, fast: bool = False) -> jnp.ndarray:
+                 alpha: float = 0.2, fast: bool = False,
+                 precision: str | None = None) -> jnp.ndarray:
+        """precision: 'f32' (default), 'bf16' (== fast=True), or 'int8'
+        (per-column-quantized gather, the fastest block path — see
+        sparse/spmm.py int8 note). `fast` is the legacy bool alias."""
+        if precision is None:
+            precision = "bf16" if fast else "f32"
         x = jnp.asarray(features, self.dtype)
         return _propagate_device(self.adj_op, x, mode=mode,
                                  order=order, alpha=float(alpha),
-                                 backend=self.backend, fast=fast)
+                                 backend=self.backend, precision=precision)
 
 
 def exact_propagate(adj: sp.spmatrix, features, *, mode: str = "ppr",
@@ -118,15 +127,18 @@ def exact_propagate(adj: sp.spmatrix, features, *, mode: str = "ppr",
                     dense_threshold: int = 20000,
                     backend: str | None = None,
                     fast: bool = False,
+                    precision: str | None = None,
                     dtype=jnp.float32) -> jnp.ndarray:
     """One-shot propagation of [n, F] features through the self-looped
     adjacency (builds a Propagator and applies it).
 
     backend: None = auto ('dense' under dense_threshold, else 'block' with
-    'segment' fallback on >2x padding overhead). fast=True switches the
-    block SpMM to bf16 (~2x faster, rel err ~1e-3) — the default stays f32
-    because this feeds the accuracy-critical test-time propagation.
+    'segment' fallback on >2x padding overhead). precision 'bf16'
+    (== fast=True, rel err ~1e-3) and 'int8' (quantized gather, fastest)
+    are opt-in — the default stays f32 because this feeds the
+    accuracy-critical test-time propagation.
     """
     prop = Propagator(adj, dense_threshold=dense_threshold, backend=backend,
                       dtype=dtype)
-    return prop(features, mode=mode, order=order, alpha=alpha, fast=fast)
+    return prop(features, mode=mode, order=order, alpha=alpha, fast=fast,
+                precision=precision)

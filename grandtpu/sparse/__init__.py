@@ -18,4 +18,6 @@ from grandtpu.sparse.spmm import (  # noqa: F401
     spmm_block_offset,
     spmm_segment,
     spmm_split,
+    spmm_split_q8,
+    quantize_columns,
 )

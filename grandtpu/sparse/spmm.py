@@ -437,6 +437,85 @@ def spmm_split(scsr: SplitCSR, x: jnp.ndarray, fast: bool = True,
     return out[:scsr.num_nodes] if trim else out
 
 
+# ---------------------------------------------------------------------------
+# int8-packed gather path (opt-in). Measured on v5e (bench/gather_roof.py,
+# RESULTS.md): the row gather is per-ROW bound, and 128-byte rows gather at
+# ~164M rows/s vs ~108M for f32's 512B rows — int8 features with a
+# per-column f32 rescale recover that 1.5x. The rescale is exact to fold
+# AFTER the one-hot matmul (scale varies only along F):
+#     out[r, f] = s[f] * sum_e onehot[r, e] * q[e, f] * v[e]
+# Quantization error <= 1/254 of each column's max |x| per element — far
+# below DropNode training noise; end-to-end accuracy evidence in RESULTS.md.
+# ---------------------------------------------------------------------------
+
+
+def quantize_columns(x: jnp.ndarray):
+    """Per-column symmetric int8 quantization: x ~= q * scale[None, :]."""
+    amax = jnp.max(jnp.abs(x), axis=0)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _block_step_q8(x_q, iota, c, v, lr):
+    feats = (jnp.take(x_q, c, axis=0).astype(jnp.bfloat16)
+             * v[:, None].astype(jnp.bfloat16))
+    onehot = (lr[None, :] == iota).astype(jnp.bfloat16)
+    return jnp.dot(onehot, feats, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("trim", "unroll"))
+def spmm_block_q8(bcsr: BlockCSR, x_q: jnp.ndarray, scale: jnp.ndarray,
+                  trim: bool = True, unroll: int = 4):
+    """y = A @ (x_q * scale) with the int8 row gather (see note above)."""
+    r = bcsr.rows_per_block
+    n, f = bcsr.num_nodes, x_q.shape[1]
+    iota = jnp.arange(r, dtype=jnp.int32)[:, None]
+
+    def step(_, blk):
+        c, v, lr = blk
+        return None, _block_step_q8(x_q, iota, c, v, lr)
+
+    _, outs = jax.lax.scan(step, None, (bcsr.cols, bcsr.vals, bcsr.lrow),
+                           unroll=min(unroll, bcsr.num_blocks))
+    out = outs.reshape(-1, f) * scale[None, :]
+    return out[:n] if trim else out
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def spmm_block_offset_q8(ob: OffsetBlockCSR, x_q: jnp.ndarray,
+                         scale: jnp.ndarray, acc: jnp.ndarray,
+                         unroll: int = 2) -> jnp.ndarray:
+    """acc += A_overflow @ (x_q * scale) (int8 gather variant)."""
+    r = ob.rows_per_block
+    f = x_q.shape[1]
+    iota = jnp.arange(r, dtype=jnp.int32)[:, None]
+
+    def step(acc, blk):
+        c, v, lr, r0 = blk
+        out = _block_step_q8(x_q, iota, c, v, lr) * scale[None, :]
+        slab = jax.lax.dynamic_slice(acc, (r0, 0), (r, f))
+        acc = jax.lax.dynamic_update_slice(acc, slab + out.astype(acc.dtype),
+                                           (r0, 0))
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (ob.cols, ob.vals, ob.lrow, ob.row0),
+                          unroll=min(unroll, ob.row0.shape[0]))
+    return acc
+
+
+def spmm_split_q8(scsr: SplitCSR, x: jnp.ndarray,
+                  trim: bool = True) -> jnp.ndarray:
+    """y = A @ x via per-column int8 quantize-then-gather (opt-in fast
+    path; quantizes x on device each call, so power-iteration loops pay
+    one cheap [n, F] elementwise pass per hop for the 1.5x gather win)."""
+    x_q, scale = quantize_columns(x)
+    out = spmm_block_q8(scsr.base, x_q, scale, trim=False)
+    for lvl in scsr.levels:
+        out = spmm_block_offset_q8(lvl, x_q, scale, out)
+    return out[:scsr.num_nodes] if trim else out
+
+
 def normalized_dense_adj(adj: sp.spmatrix, dtype=jnp.float32) -> jnp.ndarray:
     """D^-1 A as a dense device array (MXU path; D = row sums of A)."""
     deg = np.asarray(adj.sum(1)).flatten()

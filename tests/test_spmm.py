@@ -134,6 +134,57 @@ def test_split_fast_within_bf16_tolerance(skewed_adj_x):
     assert np.max(np.abs(got - want)) / scale < 5e-3
 
 
+def test_quantize_columns_roundtrip(adj_x):
+    from grandtpu.sparse.spmm import quantize_columns
+    _, x = adj_x
+    q, s = quantize_columns(jnp.asarray(x))
+    assert np.asarray(q).dtype == np.int8
+    back = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+    colmax = np.abs(x).max(0)
+    assert (np.abs(back - x) <= colmax[None, :] / 254 + 1e-7).all()
+
+
+def test_split_q8_within_quant_tolerance(skewed_adj_x):
+    """int8-gather path (base + overflow levels): error bounded by the
+    per-column quantization step propagated through |A| (row mass)."""
+    from grandtpu.sparse.spmm import SplitCSR, spmm_split_q8
+    adj, x = skewed_adj_x
+    scsr = SplitCSR.from_scipy(adj, rows_per_block=64, pad_multiple=64)
+    assert len(scsr.levels) >= 1
+    got = np.asarray(spmm_split_q8(scsr, jnp.asarray(x)))
+    want = adj.dot(x)
+    # per-element bound: (|A| @ colmax)/254 from quantization, plus bf16
+    # rounding of the val multiply
+    colmax = np.abs(x).max(0)
+    bound = np.abs(adj).dot(np.broadcast_to(colmax, x.shape)) / 254
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.max((np.abs(got - want) - bound).clip(0)) / scale < 1.2e-2
+
+
+def test_split_q8_uniform_matches(adj_x):
+    from grandtpu.sparse.spmm import SplitCSR, spmm_split_q8
+    adj, x = adj_x
+    scsr = SplitCSR.from_scipy(adj, rows_per_block=64, pad_multiple=128)
+    got = np.asarray(spmm_split_q8(scsr, jnp.asarray(x)))
+    want = adj.dot(x)
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.max(np.abs(got - want)) / scale < 2e-2
+
+
+def test_propagate_precision_int8(adj_x):
+    """End-to-end ppr power iteration with precision='int8' stays close to
+    the f32 result (per-hop requantization compounds mildly)."""
+    from grandtpu.infer import exact_propagate
+    adj, x = adj_x
+    want = np.asarray(exact_propagate(adj, x, mode="ppr", order=4,
+                                      alpha=0.2, backend="block"))
+    got = np.asarray(exact_propagate(adj, x, mode="ppr", order=4,
+                                     alpha=0.2, backend="block",
+                                     precision="int8"))
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.max(np.abs(got - want)) / scale < 3e-2
+
+
 def test_split_empty_graph():
     import scipy.sparse as sp
     from grandtpu.sparse.spmm import SplitCSR, spmm_split
