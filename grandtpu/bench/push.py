@@ -29,7 +29,7 @@ def build(n=300_000, avg_degree=30, seed=0):
 
 def bench_push(n=300_000, n_src=1024, order=10, alpha=0.2, rmax=1e-5,
                k=64, repeats=3, backends=("native", "bucket"),
-               block=1024):
+               block=1024, window=8):
     from grandtpu.ppr import build_coef
     adj = build(n=n)
     indptr = adj.indptr.astype(np.int32)
@@ -45,9 +45,10 @@ def bench_push(n=300_000, n_src=1024, order=10, alpha=0.2, rmax=1e-5,
         elif backend == "bucket":
             from grandtpu.ppr.bucket_push import (BucketPushGraph,
                                                   gfpush_bucketed)
-            g = BucketPushGraph(indptr, indices, rmax)
+            g = BucketPushGraph(indptr, indices, rmax, window=window)
             fn = lambda: gfpush_bucketed(indptr, indices, sources, coef,
-                                         rmax, k, block=block, graph=g)
+                                         rmax, k, block=block, window=window,
+                                         graph=g)
         else:
             from grandtpu.ppr.jax_push import gfpush_jax
             fn = lambda: gfpush_jax(indptr, indices, sources, coef, rmax,
@@ -64,10 +65,12 @@ def bench_push(n=300_000, n_src=1024, order=10, alpha=0.2, rmax=1e-5,
         best = min(times)
         sps = n_src / best
         results[backend] = sps
-        print(json.dumps({"metric": f"gfpush_{backend}_sources_per_s",
-                          "value": sps, "unit": "sources/s",
-                          "n": n, "order": order, "rmax": rmax, "k": k}),
-              flush=True)
+        row = {"metric": f"gfpush_{backend}_sources_per_s",
+               "value": sps, "unit": "sources/s",
+               "n": n, "order": order, "rmax": rmax, "k": k}
+        if backend == "bucket":
+            row.update(block=block, window=window)
+        print(json.dumps(row), flush=True)
     return results
 
 
@@ -81,11 +84,13 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--backends", default="native,bucket",
                     help="comma list: native,bucket,jax")
     args = ap.parse_args()
     bench_push(n=args.n, n_src=args.n_src, order=args.order, rmax=args.rmax,
                k=args.k, repeats=args.repeats, block=args.block,
+               window=args.window,
                backends=tuple(args.backends.split(",")))
 
 
