@@ -134,7 +134,7 @@ def _dedup_rows(ids, vals, thr, n):
 
 
 @functools.partial(jax.jit, static_argnames=("p_cap", "e_w", "w"))
-def _hop(ids, vals, thr, indptr, edges2d, thr2d, deg, src, thr_src, n,
+def _hop(ids, vals, thr, indptr, packed2d, deg, src, thr_src, n,
          *, p_cap: int, e_w: int, w: int):
     """One hop: frontier [B, C] (emit-first ordered) -> frontier [B, e_w*w]
     (emit-first compacted; callers slice to the c_out bucket via _slice).
@@ -204,10 +204,15 @@ def _hop(ids, vals, thr, indptr, edges2d, thr2d, deg, src, thr_src, n,
 
     slot = jnp.arange(e_w, dtype=jnp.int32)[None, :]
     blk = e_first + (slot - e_start)                    # aligned block id
-    m_blk = edges2d.shape[0]
+    m_blk = packed2d.shape[0]
     blk_c = jnp.clip(blk, 0, m_blk - 1).reshape(-1)
-    nbrw = jnp.take(edges2d, blk_c, axis=0).reshape(b_rows, e_w, w)
-    thrw = jnp.take(thr2d, blk_c, axis=0).reshape(b_rows, e_w, w)
+    # ONE gather for neighbor ids AND their thresholds: [*, w] rows pad to
+    # 128 lanes under T(8,128) either way, so fusing the two tables into a
+    # [m_blk, 2w] record halves the gathered row count for the same bytes
+    # (measured 95ms -> 67ms at the peak-hop shape on v5e)
+    both = jnp.take(packed2d, blk_c, axis=0).reshape(b_rows, e_w, 2 * w)
+    nbrw = both[..., :w]
+    thrw = jax.lax.bitcast_convert_type(both[..., w:], jnp.float32)
 
     lane = jnp.arange(w, dtype=jnp.int32)[None, None, :]
     epos = jnp.clip(blk, 0, m_blk - 1)[..., None] * w + lane
@@ -281,11 +286,16 @@ class BucketPushGraph:
         edges2d = np.pad(indices, (0, pad)).reshape(-1, window)
         self.indptr = jnp.asarray(indptr)
         self.deg = jnp.asarray(deg)
-        self.edges2d = jnp.asarray(edges2d)
-        # per-edge pruning threshold of the TARGET node; -1 marks dangling
-        deg_t = self.deg[jnp.clip(self.edges2d, 0, self.n - 1)]
-        self.thr2d = jnp.where(deg_t == 0, -1.0,
-                               np.float32(rmax) * deg_t.astype(jnp.float32))
+        edges2d_dev = jnp.asarray(edges2d)
+        # per-edge pruning threshold of the TARGET node; -1 marks dangling.
+        # Packed side by side with the neighbor ids into one [m_blk, 2w]
+        # record so each expansion block is ONE row gather (see _hop).
+        deg_t = self.deg[jnp.clip(edges2d_dev, 0, self.n - 1)]
+        thr2d = jnp.where(deg_t == 0, -1.0,
+                          np.float32(rmax) * deg_t.astype(jnp.float32))
+        self.packed2d = jnp.concatenate(
+            [edges2d_dev,
+             jax.lax.bitcast_convert_type(thr2d, jnp.int32)], axis=1)
         self._plans: dict = {}
 
     def node_thr(self, nodes):
@@ -344,7 +354,7 @@ def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
             e_w = _bucket(int(_plan_windows(
                 ids, vals, thr, g.indptr, g.deg, w=w, p_cap=p_cap)), lo=16)
             ids, vals, thr, n_push, n_live, _of = _hop(
-                ids, vals, thr, g.indptr, g.edges2d, g.thr2d, g.deg, src,
+                ids, vals, thr, g.indptr, g.packed2d, g.deg, src,
                 thr_src, n, p_cap=p_cap, e_w=e_w, w=w)
             c_out = min(_bucket(int(n_live), lo=128), e_w * w)
             if c_out < ids.shape[1]:
@@ -363,7 +373,7 @@ def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
             if p_cap > ids.shape[1]:
                 p_cap = ids.shape[1]
             ids, vals, thr, _np_, n_live, of = _hop(
-                ids, vals, thr, g.indptr, g.edges2d, g.thr2d, g.deg, src,
+                ids, vals, thr, g.indptr, g.packed2d, g.deg, src,
                 thr_src, n, p_cap=p_cap, e_w=e_w, w=w)
             flags.append(of)
             if c_out < ids.shape[1]:
