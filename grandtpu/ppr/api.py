@@ -17,15 +17,16 @@ from grandtpu.ppr.coef import build_coef
 from grandtpu.ppr.oracle import gfpush_numpy
 from grandtpu.sparse.topk import TopKProp
 
-# Measured push throughputs (RESULTS.md, one v5e + this host's cores).
-# The native kernel's per-core rate falls off with graph size as its
-# hash-map accumulators leave cache (1745 src/s at 9.3M nnz -> 653 at 62M
-# on 2 cores); the bucketed TPU backend is ~n-independent. 'auto' picks
-# bucket exactly when the model says the host kernel would be slower.
-_BUCKET_SPS = 700.0            # v5e flat rate (order-10 ppr, k=64)
-_NATIVE_SPS_PER_CORE = 872.0   # at the 9.3M-nnz reference point
-_NATIVE_REF_NNZ = 9.3e6
-_NATIVE_CACHE_EXP = 0.483      # sps ~ nnz^-0.483 (fit through both points)
+# Measured push throughputs (RESULTS.md, one v5e + this host's 2 cores,
+# IDLE host — round-2's apparent native falloff at 2M nodes was background
+# load, not cache; clean r3 measurements show no nnz falloff up to 62M):
+# native ~1250 sources/s per core at order-10/rmax 1e-5/k=64, bucket ~900
+# on the v5e, n-independent. 'auto' therefore picks the TPU bucket push
+# when it genuinely beats the host estimate — in practice when the native
+# kernel is unavailable (no toolchain) or the host has (or is configured
+# to spare, via GRANDTPU_PUSH_CORES) less than a core of capacity.
+_BUCKET_SPS = 900.0            # v5e flat rate (order-10 ppr, k=64)
+_NATIVE_SPS_PER_CORE = 1250.0  # idle-host per-core rate (r3)
 _BUCKET_MIN_SOURCES = 4096     # planning compiles are ~minutes through the
 #                                tunnel; don't pay them for small pushes
 
@@ -42,17 +43,19 @@ def _auto_backend(nnz: int, n_src: int) -> str:
     """Policy for backend='auto' (VERDICT r2 #3): the TPU bucket push when
     an accelerator is attached, the push is large enough to amortize its
     planning compiles, and the measured throughput model says the host
-    kernel would be slower; else native; else the numpy oracle."""
+    kernel would be slower; else native; else the numpy oracle.
+    GRANDTPU_PUSH_BACKEND forces a backend; GRANDTPU_PUSH_CORES caps the
+    cores the host kernel is assumed to have (e.g. a host busy feeding
+    input pipelines)."""
     forced = os.environ.get("GRANDTPU_PUSH_BACKEND")
     if forced:
         return forced
     from grandtpu.ppr.native import native_available
     native = native_available()
     if n_src >= _BUCKET_MIN_SOURCES and _accelerator_present():
-        cores = os.cpu_count() or 1
-        native_sps = (cores * _NATIVE_SPS_PER_CORE
-                      * (max(nnz, 1) / _NATIVE_REF_NNZ) ** -_NATIVE_CACHE_EXP)
-        if not native or _BUCKET_SPS > native_sps:
+        cores = int(os.environ.get("GRANDTPU_PUSH_CORES",
+                                   os.cpu_count() or 1))
+        if not native or _BUCKET_SPS > cores * _NATIVE_SPS_PER_CORE:
             return "bucket"
     return "native" if native else "numpy"
 

@@ -158,24 +158,34 @@ def test_auto_backend_policy(monkeypatch):
     """'auto' selects the TPU bucket push exactly when an accelerator is
     attached AND the push is large enough to amortize planning AND the
     measured throughput model predicts the host kernel loses (VERDICT r2
-    #3b); CPU-only / small pushes stay on native."""
+    #3b): native unavailable, or the host too core-starved to beat the
+    v5e bucket rate. An idle multi-core host keeps the native kernel."""
     from grandtpu.ppr import api
 
     monkeypatch.setattr(api, "_accelerator_present", lambda: True)
     monkeypatch.setattr("grandtpu.ppr.native.native_available", lambda: True)
     monkeypatch.setattr(api.os, "cpu_count", lambda: 2)
-    big_nnz = 80_000_000      # past the measured 2-core crossover
-    small_nnz = 7_000_000     # Amazon2M-synth scale: native is ~10x faster
-    assert api._auto_backend(big_nnz, 16384) == "bucket"
-    assert api._auto_backend(small_nnz, 16384) == "native"
+    nnz = 62_000_000
+    # idle 2-core host: native (~2500 src/s) beats the v5e bucket (~900)
+    assert api._auto_backend(nnz, 16384) == "native"
+    # host effectively core-less (all cores feeding pipelines): bucket
+    monkeypatch.setenv("GRANDTPU_PUSH_CORES", "0")
+    assert api._auto_backend(nnz, 16384) == "bucket"
     # too few sources to amortize the planning compiles
-    assert api._auto_backend(big_nnz, 512) == "native"
-    # no accelerator: never bucket
+    assert api._auto_backend(nnz, 512) == "native"
+    monkeypatch.delenv("GRANDTPU_PUSH_CORES")
+    # no native toolchain: bucket (not the slow numpy oracle)
+    monkeypatch.setattr(api, "native_available_override", None,
+                        raising=False)
+    import grandtpu.ppr.native as native_mod
+    monkeypatch.setattr(native_mod, "native_available", lambda: False)
+    assert api._auto_backend(nnz, 16384) == "bucket"
+    # no accelerator either: numpy oracle fallback
     monkeypatch.setattr(api, "_accelerator_present", lambda: False)
-    assert api._auto_backend(big_nnz, 16384) == "native"
+    assert api._auto_backend(nnz, 16384) == "numpy"
     # explicit override wins
     monkeypatch.setenv("GRANDTPU_PUSH_BACKEND", "numpy")
-    assert api._auto_backend(big_nnz, 16384) == "numpy"
+    assert api._auto_backend(nnz, 16384) == "numpy"
 
 
 def test_auto_backend_end_to_end_bucket(pushed, monkeypatch):
