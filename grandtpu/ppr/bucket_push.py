@@ -51,8 +51,12 @@ batched fetch at block end, replanning only if a block outgrows the plan
 Per-row buffers mean per-row worst-case sizing: a power-law hub multiplies
 one row's E while every other row pads to it. For extreme skew the native
 kernel remains the fallback; for bounded-degree graphs this path is
-n-independent (the native kernel's hash maps fall out of cache at n=2M,
-RESULTS.md).
+n-independent (902 src/s at 300K vs 889 at 2M, results/push_throughput.json).
+Role: host-free precompute — an IDLE multi-core host's native kernel is
+faster (the r2 belief that its accumulators fall out of cache at 2M was
+background-load contamination; see the r3 clean-host numbers), so the auto
+policy picks this backend when the toolchain is absent or host cores are
+spoken for (GRANDTPU_PUSH_CORES).
 """
 
 from __future__ import annotations
