@@ -29,7 +29,7 @@ CONFIGS = {
 }
 
 
-def bench_train_step(name: str, steps: int = 50, pallas: bool = False):
+def bench_train_step(name: str, steps: int = 50):
     import jax
     import jax.numpy as jnp
 
@@ -48,8 +48,7 @@ def bench_train_step(name: str, steps: int = 50, pallas: bool = False):
                         use_bn=True, input_droprate=0.2, hidden_droprate=0.2)
     step_cfg = StepConfig(mlp=mlp_cfg, k_aug=2, dropnode_rate=0.5,
                           n_train=bs, lam=1.0, warmup=100.0, tem=0.1,
-                          conf=2.0 / c, loss_kind="l2", clip_norm=-1.0,
-                          pallas_dropnode=pallas)
+                          conf=2.0 / c, loss_kind="l2", clip_norm=-1.0)
     optimizer = make_optimizer(1e-3, 1e-4)
     params, state = init_mlp(jax.random.PRNGKey(0), mlp_cfg)
     opt_state = optimizer.init(params)
@@ -76,8 +75,7 @@ def bench_train_step(name: str, steps: int = 50, pallas: bool = False):
     float(np.asarray(m["loss"]))    # steps chain on params: syncs them all
     dt = (time.time() - t0) / steps
     edges = (bs + ub) * ktop * step_cfg.k_aug
-    suffix = "_pallas" if pallas else ""
-    out = {"metric": f"train_step_{name}{suffix}", "value": 1.0 / dt,
+    out = {"metric": f"train_step_{name}", "value": 1.0 / dt,
            "unit": "steps/s", "step_ms": dt * 1000,
            "aggregated_edges_per_s": edges / dt}
     print(json.dumps(out), flush=True)
@@ -85,9 +83,5 @@ def bench_train_step(name: str, steps: int = 50, pallas: bool = False):
 
 
 if __name__ == "__main__":
-    import sys as _sys
-    variants = ((False, True) if "--pallas-compare" in _sys.argv
-                else (False,))
     for name in CONFIGS:
-        for pal in variants:
-            bench_train_step(name, pallas=pal)
+        bench_train_step(name)

@@ -74,7 +74,8 @@ class GrandConfig:
     #                                | 'numpy'; auto = TPU bucket push at
     #                                scale (ppr/api.py:_auto_backend), else
     #                                native host kernel
-    pallas_dropnode: bool = False  # fused Pallas DropNode kernel (TPU only)
+    # (a pallas_dropnode flag existed through r3: the fused kernel lost to
+    #  XLA's random_prop on every preset shape on hardware and was deleted)
     scan_steps: bool = False       # roll steps between evals into one
     #                                lax.scan dispatch. Opt-in: per-step
     #                                dispatch is async and already overlaps

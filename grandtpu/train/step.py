@@ -40,7 +40,6 @@ class StepConfig:
     conf: float
     loss_kind: str              # 'l2' | 'kl'
     clip_norm: float            # <=0 disables
-    pallas_dropnode: bool = False  # fused in-kernel-PRNG DropNode (TPU)
 
 
 def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
@@ -62,33 +61,26 @@ def _forward_k(params, state, cfg: StepConfig, features, cols, vals, key,
     for BN statistics on wrap-padded partial batches."""
     keys = jax.random.split(key, cfg.k_aug)
     feats = jnp.take(features, cols, axis=0)              # [B, Ktop, F]
-    b = feats.shape[0]
-    tile_b = next(t for t in (8, 4, 2, 1) if b % t == 0)
 
     def one_aug(carry_state, k):
         k_drop, k_mlp = jax.random.split(k)
-        if cfg.pallas_dropnode and training and cfg.dropnode_rate > 0:
-            from grandtpu.ops import dropnode_aggregate
-            seed = jax.random.randint(k_drop, (), 0, 2 ** 31 - 1,
-                                      dtype=jnp.int32)
-            x = dropnode_aggregate(feats, vals, seed,
-                                   dropnode_rate=cfg.dropnode_rate,
-                                   tile_b=tile_b)
-        else:
-            x = random_prop(feats, vals, key=k_drop,
-                            dropnode_rate=cfg.dropnode_rate,
-                            training=training)
+        # DropNode stays the pure-XLA op: a fused Pallas kernel (in-kernel
+        # PRNG + MXU reduction) was built and adjudicated on hardware in
+        # r3 — it LOST to XLA's fused threefry+mask+reduce on every preset
+        # shape (RESULTS.md train-step table), so it was deleted.
+        x = random_prop(feats, vals, key=k_drop,
+                        dropnode_rate=cfg.dropnode_rate,
+                        training=training)
         x = jax.lax.stop_gradient(x)   # reference detaches the augmentation
         logits, carry_state = apply_mlp(params, carry_state, cfg.mlp, x,
                                         key=k_mlp, training=training,
                                         batch_mask=batch_mask)
         return carry_state, jax.nn.log_softmax(logits, axis=-1)
 
-    if not cfg.mlp.use_bn and not cfg.pallas_dropnode:
+    if not cfg.mlp.use_bn:
         # no cross-augmentation state: vmap the K forwards into one batched
         # program (the scan is only needed to thread BN running stats
-        # sequentially like K torch forwards would; the Pallas kernel keeps
-        # the scan path — scalar-prefetch args don't batch under vmap)
+        # sequentially like K torch forwards would)
         logps = jax.vmap(lambda k: one_aug(state, k)[1])(keys)
         return logps, state
 

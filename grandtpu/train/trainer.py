@@ -96,7 +96,7 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
         mlp=mlp_cfg, k_aug=cfg.sample, dropnode_rate=cfg.dropnode_rate,
         n_train=cfg.batch_size, lam=cfg.lam, warmup=cfg.warmup, tem=cfg.tem,
         conf=cfg.resolve_conf(n_class), loss_kind=cfg.loss,
-        clip_norm=cfg.clip_norm, pallas_dropnode=cfg.pallas_dropnode)
+        clip_norm=cfg.clip_norm)
 
     key = jax.random.PRNGKey(cfg.seed2)
     key, init_key = jax.random.split(key)
