@@ -12,7 +12,8 @@ from grandtpu.dist.data_parallel import (  # noqa: F401
     shard_sparse_train_inputs, shard_train_inputs,
 )
 from grandtpu.dist.spmm_shard import (  # noqa: F401
-    ShardedGraph, ShardedPropagator, dist_exact_propagate, sharded_propagate,
+    BlockShardedGraph, BlockShardedPropagator, ShardedGraph,
+    ShardedPropagator, dist_exact_propagate, sharded_propagate,
 )
 from grandtpu.dist.push import (  # noqa: F401
     multihost_native_gfpush, push_source_shard, sharded_gfpush,

@@ -42,6 +42,49 @@ def test_sharded_graph_covers_all_edges(graph_feats):
     assert float(np.asarray(g.vals).sum()) == pytest.approx(adj.data.sum())
 
 
+@pytest.mark.parametrize("mode", ["ppr", "avg", "single"])
+def test_block_sharded_matches_single_chip(graph_feats, mode):
+    """The one-hot-matmul sharded propagator (the production all_gather
+    path since r3) == the single-chip exact result."""
+    from grandtpu.dist import BlockShardedGraph, BlockShardedPropagator
+    adj, feats, _ = graph_feats
+    mesh = make_mesh(n_data=8)
+    g = BlockShardedGraph.build(adj, num_shards=8, rows_per_block=8,
+                                pad_multiple=16)
+    got = BlockShardedPropagator(mesh, g)(feats, mode=mode, order=4,
+                                          alpha=0.3)
+    want = np.asarray(exact_propagate(adj, feats, mode=mode, order=4,
+                                      alpha=0.3))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_block_sharded_int8_within_quant_tolerance(graph_feats):
+    """int8-quantized collectives: result within the propagated
+    quantization bound of the f32 sharded result."""
+    from grandtpu.dist import BlockShardedGraph, BlockShardedPropagator
+    adj, feats, _ = graph_feats
+    mesh = make_mesh(n_data=8)
+    g = BlockShardedGraph.build(adj, num_shards=8, rows_per_block=8,
+                                pad_multiple=16)
+    prop = BlockShardedPropagator(mesh, g)
+    want = prop(feats, mode="ppr", order=4, alpha=0.3)
+    got = prop(feats, mode="ppr", order=4, alpha=0.3, precision="int8")
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.max(np.abs(got - want)) / scale < 3e-2
+
+
+def test_block_sharded_covers_all_edges(graph_feats):
+    from grandtpu.dist import BlockShardedGraph
+    adj, _, _ = graph_feats
+    deg = np.asarray(adj.sum(1)).flatten()
+    dinv = 1.0 / np.maximum(deg, 1e-12)
+    import scipy.sparse as sp
+    want = sp.diags(dinv).dot(adj).sum()
+    g = BlockShardedGraph.build(adj, num_shards=8, rows_per_block=8,
+                                pad_multiple=16)
+    assert float(np.asarray(g.vals).sum()) == pytest.approx(float(want))
+
+
 def test_gspmd_sharded_train_step(graph_feats):
     """Full train step with batch/features/top-k sharded over the mesh:
     must compile, run, and produce finite metrics equal to single-device."""
