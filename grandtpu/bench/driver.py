@@ -101,11 +101,15 @@ def main():
     from grandtpu.infer import Propagator
     prop = Propagator(adj, backend="block")
     prop.nnz = adj.nnz
+    # int8's optimal row-block size differs (256 vs 512 — smaller gather
+    # granule, RESULTS.md): give it its own operator like production does
+    prop_q8 = Propagator(adj, backend="block", rows_per_block=256)
+    prop_q8.nnz = adj.nnz
     f32_eps, f32_out = bench_tpu_spmm(prop, feats, order=order,
                                       precision="f32")
     bf16_eps, bf16_out = bench_tpu_spmm(prop, feats, order=order,
                                         precision="bf16")
-    q8_eps, q8_out = bench_tpu_spmm(prop, feats, order=order,
+    q8_eps, q8_out = bench_tpu_spmm(prop_q8, feats, order=order,
                                     precision="int8")
     # numerics gates: f32 path must match the reference engine tightly;
     # both fast paths within the same 5e-3 tolerance (measured: bf16

@@ -142,15 +142,17 @@ def cmd_predict(args) -> int:
             jnp.asarray(padded.attr_vals), adj_sl, mode=cfg.prop_mode,
             order=cfg.order, alpha=cfg.alpha, propagate=propagate)
     else:
+        precision = getattr(args, "precision", "f32")
         if mesh is not None:
             from grandtpu.dist import dist_exact_propagate
             prop = dist_exact_propagate(
                 mesh, adj_sl, np.asarray(data.features, np.float32),
-                mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
+                mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha,
+                precision=precision)
         else:
             prop = exact_propagate(adj_sl, np.asarray(data.features),
                                    mode=cfg.prop_mode, order=cfg.order,
-                                   alpha=cfg.alpha)
+                                   alpha=cfg.alpha, precision=precision)
         logits = predict_logits(params, state, mlp_cfg, prop)
     preds = logits.argmax(1)
     acc = float(np.equal(preds[data.idx_test],
@@ -212,6 +214,11 @@ def cli(argv=None) -> int:
                         help="checkpoint npz (best.npz from --ckpt-dir)")
     p_pred.add_argument("--output", default=None,
                         help="output npz path")
+    p_pred.add_argument("--precision", default="f32",
+                        choices=["f32", "bf16", "int8"],
+                        help="propagation precision: f32 (default), bf16, "
+                        "or int8 quantized gather (fastest; ~4e-3 rel — "
+                        "see RESULTS.md accuracy evidence)")
     p_pred.set_defaults(fn=cmd_predict)
     p_bench = sub.add_parser("bench", help="run a benchmark suite")
     p_bench.add_argument("suite", choices=["spmm", "push", "train-step",
