@@ -77,14 +77,28 @@ def _forward_k(params, state, cfg: StepConfig, features, cols, vals, key,
                                         batch_mask=batch_mask)
         return carry_state, jax.nn.log_softmax(logits, axis=-1)
 
-    if not cfg.mlp.use_bn:
-        # no cross-augmentation state: vmap the K forwards into one batched
-        # program (the scan is only needed to thread BN running stats
-        # sequentially like K torch forwards would)
-        logps = jax.vmap(lambda k: one_aug(state, k)[1])(keys)
+    # The K forwards are state-INDEPENDENT even with BN on: train-mode BN
+    # normalizes with each augmentation's own batch stats and only the
+    # running-stat EMA reads the incoming state — so vmap all K into one
+    # batched program (r1/r2 scanned them sequentially whenever use_bn)
+    # and fold the EMA chain in closed form afterwards.
+    states_k, logps = jax.vmap(lambda k: one_aug(state, k))(keys)
+    if not (training and cfg.mlp.use_bn):
         return logps, state
 
-    new_state, logps = jax.lax.scan(one_aug, state, keys)
+    # each vmapped leaf is n_j = (1-m)*s0 + m*t_j; the sequential chain
+    # s_{j+1} = (1-m)*s_j + m*t_j rewrites as repeated
+    # s <- (1-m)*s + (n_j - (1-m)*s0) — exactly K torch updates in order
+    from grandtpu.nn.mlp import BN_MOMENTUM
+
+    def fold(s0_leaf, nk_leaf):
+        out = s0_leaf
+        for j in range(cfg.k_aug):
+            out = (1.0 - BN_MOMENTUM) * out + (
+                nk_leaf[j] - (1.0 - BN_MOMENTUM) * s0_leaf)
+        return out
+
+    new_state = jax.tree_util.tree_map(fold, state, states_k)
     return logps, new_state
 
 

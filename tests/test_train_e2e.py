@@ -191,6 +191,54 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
     assert meta["num_batch"] == 18
 
 
+def test_forward_k_bn_fold_matches_sequential():
+    """With BN on, the vmapped K-augmentation forward + closed-form EMA
+    fold must equal K explicit sequential torch-style forwards (r3
+    replaced the lax.scan; exactness to fp rounding)."""
+    from grandtpu.nn.dropnode import random_prop
+    from grandtpu.nn.mlp import MLPConfig, apply_mlp, init_mlp
+    from grandtpu.train.step import StepConfig, _forward_k
+
+    rs = np.random.RandomState(0)
+    b, ktop, f, c = 24, 8, 32, 4
+    mlp_cfg = MLPConfig(num_features=f, num_classes=c, hidden=16,
+                        nlayers=2, use_bn=True, input_droprate=0.3,
+                        hidden_droprate=0.3)
+    cfg = StepConfig(mlp=mlp_cfg, k_aug=3, dropnode_rate=0.5, n_train=b,
+                     lam=1.0, warmup=10.0, tem=0.1, conf=0.5,
+                     loss_kind="l2", clip_norm=-1.0)
+    params, state = init_mlp(jax.random.PRNGKey(0), mlp_cfg)
+    features = jnp.asarray(rs.rand(100, f).astype(np.float32))
+    cols = jnp.asarray(rs.randint(0, 100, (b, ktop)).astype(np.int32))
+    vals = jnp.asarray(rs.rand(b, ktop).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    logps, new_state = _forward_k(params, state, cfg, features, cols,
+                                  vals, key, training=True)
+
+    # explicit sequential reference (the pre-r3 scan semantics)
+    keys = jax.random.split(key, cfg.k_aug)
+    seq_state = state
+    seq_logps = []
+    feats = jnp.take(features, cols, axis=0)
+    for k in keys:
+        k_drop, k_mlp = jax.random.split(k)
+        x = random_prop(feats, vals, key=k_drop, dropnode_rate=0.5,
+                        training=True)
+        logits, seq_state = apply_mlp(params, seq_state, mlp_cfg,
+                                      jax.lax.stop_gradient(x), key=k_mlp,
+                                      training=True)
+        seq_logps.append(jax.nn.log_softmax(logits, axis=-1))
+
+    np.testing.assert_allclose(np.asarray(logps),
+                               np.asarray(jnp.stack(seq_logps)),
+                               atol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(new_state),
+                     jax.tree_util.tree_leaves(seq_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_scan_steps_matches_per_step_trajectory():
     """Grouped lax.scan stepping must follow the exact same training
     trajectory (same per-step keys, eval schedule, early stop) as the
