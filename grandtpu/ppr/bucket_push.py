@@ -400,10 +400,16 @@ def _push_block(g: BucketPushGraph, src, coef, k, plan, block):
     return cols, vals_out, bad
 
 
+def _is_device_oom(e: Exception) -> bool:
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
+            or "out of memory" in s.lower())
+
+
 def gfpush_bucketed(indptr: np.ndarray, indices: np.ndarray,
                     sources: np.ndarray, coef: np.ndarray, rmax: float,
                     k: int, *, block: int = 1024, window: int = 8,
-                    slot_limit: int = 1 << 27,
+                    slot_limit: int = 1 << 27, min_block: int = 64,
                     graph: BucketPushGraph | None = None):
     """Run bucketed GFPush over all sources in row blocks of `block`.
 
@@ -413,13 +419,34 @@ def gfpush_bucketed(indptr: np.ndarray, indices: np.ndarray,
 
     window: neighbor lists are streamed in `window`-wide aligned blocks
     (sort-width padding < window/avg_degree). slot_limit bounds block * E
-    (total expansion slots per hop); exceeding it raises — retry with a
-    smaller block (row fan-out too skewed for per-row buffers). Pass a
-    prebuilt BucketPushGraph via `graph` to amortize device table builds
-    across calls.
+    (total expansion slots per hop). If a hop exceeds slot_limit or the
+    device compiler runs out of HBM, the whole push automatically retries
+    at block/2 (down to min_block) — heavy-fan-out graphs degrade to
+    smaller source blocks instead of failing.
     """
     if graph is None:
         graph = BucketPushGraph(indptr, indices, rmax, window=window)
+    try:
+        return _gfpush_bucketed_run(graph, sources, coef, rmax, k,
+                                    block=block, slot_limit=slot_limit)
+    except Exception as e:
+        recoverable = isinstance(e, MemoryError) or _is_device_oom(e)
+        if not recoverable or block // 2 < min_block:
+            raise
+        # a partially-recorded plan for the failed block size would be
+        # replayed as complete — drop it before backing off
+        graph.plan_for(np.asarray(coef, np.float32), block).caps = None
+        import warnings
+        warnings.warn(f"gfpush_bucketed: block={block} exceeded memory "
+                      f"({type(e).__name__}); retrying at block={block // 2}")
+        return gfpush_bucketed(indptr, indices, sources, coef, rmax, k,
+                               block=block // 2, window=window,
+                               slot_limit=slot_limit, min_block=min_block,
+                               graph=graph)
+
+
+def _gfpush_bucketed_run(graph: BucketPushGraph, sources, coef, rmax, k,
+                         *, block: int, slot_limit: int):
     g = graph
     sources = np.asarray(sources, dtype=np.int32)
     coef = np.asarray(coef, dtype=np.float32)

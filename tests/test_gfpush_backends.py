@@ -154,6 +154,27 @@ def test_api_dispatch(pushed):
     assert tk.vals.sum(1).max() <= 1.0 + 1e-6
 
 
+def test_bucket_block_backoff(pushed):
+    """A slot_limit too small for the requested block halves the block
+    and still returns oracle-exact results (heavy fan-out degrades,
+    never fails)."""
+    import warnings
+    from grandtpu.ppr.bucket_push import gfpush_bucketed
+    adj, coef, sources = pushed
+    indptr = adj.indptr.astype(np.int32)
+    indices = adj.indices.astype(np.int32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cols, vals = gfpush_bucketed(indptr, indices, sources, coef,
+                                     1e-4, 16, block=64,
+                                     slot_limit=20_000, min_block=8)
+    assert any("retrying at block=" in str(x.message) for x in w), \
+        "expected a backoff warning"
+    wc, wv = gfpush_numpy(indptr, indices, sources, coef, 1e-4, 16)
+    np.testing.assert_array_equal(cols, wc)
+    np.testing.assert_allclose(vals, wv, rtol=1e-5, atol=1e-7)
+
+
 def test_auto_backend_policy(monkeypatch):
     """'auto' selects the TPU bucket push exactly when an accelerator is
     attached AND the push is large enough to amortize planning AND the
