@@ -38,22 +38,40 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _pad_edges(per_shard, num_shards, rows_per):
-    """Stack per-shard (rows, cols, vals) lists into padded [S, E_max]
-    arrays; padding rows point at the local discard slot ``rows_per``."""
-    e_max = max(max((r.shape[0] for r, _, _ in per_shard), default=1), 1)
-    e_max = -(-e_max // 128) * 128
-    rows = np.full((num_shards, e_max), rows_per, np.int32)
-    cols = np.zeros((num_shards, e_max), np.int32)
-    vals = np.zeros((num_shards, e_max), np.float32)
-    for d, (r, c, v) in enumerate(per_shard):
-        rows[d, : r.shape[0]] = r
-        cols[d, : c.shape[0]] = c
-        vals[d, : v.shape[0]] = v
-    return jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)
+def _fill_sharded_blocks(d_of, local_r, cols, vals, num_shards, rows_per,
+                         rows_per_block, pad_multiple=128):
+    """Lay (shard, local_row, col, val) edges out as uniform-shape
+    [S, nb, eb] one-hot-matmul blocks (the scatter-free SpMM layout of
+    ``sparse/spmm.py``; r1/r2 used padded scatter-add rows here). Edges
+    must arrive sorted by (shard, local_row) — CSR row-major order
+    filtered by any mask satisfies this. rows_per must be a multiple of
+    rows_per_block so blocks never straddle shards."""
+    s_count, r = num_shards, rows_per_block
+    nb = rows_per // r
+    gblock = d_of * nb + local_r // r
+    counts = np.bincount(gblock, minlength=s_count * nb)
+    mult = max(-(-int(counts.max() if counts.size else 0) // pad_multiple),
+               1)
+    if mult % 2 == 0:   # odd multiple: HBM stride aliasing (spmm.py)
+        mult += 1
+    eb = mult * pad_multiple
+    starts = np.zeros(s_count * nb + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slots = np.arange(local_r.size, dtype=np.int64) - starts[gblock]
+    flat = gblock * eb + slots
+    c = np.zeros(s_count * nb * eb, np.int32)
+    v = np.zeros(s_count * nb * eb, np.float32)
+    lr = np.full(s_count * nb * eb, r, np.int32)
+    c[flat] = cols
+    v[flat] = vals
+    lr[flat] = (local_r - (local_r // r) * r).astype(np.int32)
+    shape = (s_count, nb, eb)
+    return (jnp.asarray(c.reshape(shape)), jnp.asarray(v.reshape(shape)),
+            jnp.asarray(lr.reshape(shape)))
 
 
-def estimate_halo_compression(adj: sp.spmatrix, num_shards: int) -> float:
+def estimate_halo_compression(adj: sp.spmatrix, num_shards: int,
+                              rows_per_block: int = 512) -> float:
     """Exact comm-compression ratio of the halo exchange vs all_gather,
     WITHOUT building either sharded representation: one np.unique over the
     off-diagonal (receiver, owner, col) keys — the first (and only
@@ -64,6 +82,7 @@ def estimate_halo_compression(adj: sp.spmatrix, num_shards: int) -> float:
     n = adj.shape[0]
     S = num_shards
     rows_per = -(-n // S)
+    rows_per = -(-rows_per // rows_per_block) * rows_per_block  # == build
     coo = adj.tocoo()
     row = coo.row.astype(np.int64)
     col = coo.col.astype(np.int64)
@@ -80,24 +99,27 @@ def estimate_halo_compression(adj: sp.spmatrix, num_shards: int) -> float:
 
 @dataclasses.dataclass(frozen=True)
 class HaloShardedGraph:
-    """Row-partitioned D^-1 A split into diagonal + halo edge blocks."""
+    """Row-partitioned D^-1 A split into diagonal + halo edge sets, both in
+    the one-hot-matmul BlockCSR layout (scatter-free, MXU-reduced — same
+    kernel family as the single-chip SplitCSR)."""
 
-    # diagonal block: columns owned by the shard itself (index x_local)
-    rows_diag: jnp.ndarray   # int32 [S, Ed_max] local row idx (pad: rows_per)
-    cols_diag: jnp.ndarray   # int32 [S, Ed_max] local col idx (pad: 0)
-    vals_diag: jnp.ndarray   # float32 [S, Ed_max] D^-1-folded (pad: 0)
-    # halo block: columns delivered by the all_to_all (index recv buffer)
-    rows_halo: jnp.ndarray   # int32 [S, Eh_max]
-    cols_halo: jnp.ndarray   # int32 [S, Eh_max] index into [S*C_max] buffer
-    vals_halo: jnp.ndarray   # float32 [S, Eh_max]
+    # diagonal blocks: columns owned by the shard itself (index x_local)
+    cols_diag: jnp.ndarray   # int32 [S, nb, Ed] local col idx (pad: 0)
+    vals_diag: jnp.ndarray   # float32 [S, nb, Ed] D^-1-folded (pad: 0)
+    lrow_diag: jnp.ndarray   # int32 [S, nb, Ed] row within block (pad: R)
+    # halo blocks: columns delivered by the all_to_all (index recv buffer)
+    cols_halo: jnp.ndarray   # int32 [S, nb, Eh] index into [S*C_max] buffer
+    vals_halo: jnp.ndarray   # float32 [S, nb, Eh]
+    lrow_halo: jnp.ndarray   # int32 [S, nb, Eh]
     send_idx: jnp.ndarray    # int32 [S(owner), S(receiver), C_max] local ids
     num_nodes: int
     rows_per_shard: int
+    rows_per_block: int
     halo_per_pair: int       # C_max
 
     @property
     def num_shards(self) -> int:
-        return self.rows_diag.shape[0]
+        return self.cols_diag.shape[0]
 
     @property
     def compression(self) -> float:
@@ -107,7 +129,8 @@ class HaloShardedGraph:
         return (self.num_shards * self.halo_per_pair) / n_pad
 
     @staticmethod
-    def build(adj: sp.spmatrix, num_shards: int) -> "HaloShardedGraph":
+    def build(adj: sp.spmatrix, num_shards: int,
+              rows_per_block: int = 512) -> "HaloShardedGraph":
         """One vectorized group-by pass over the edge list: O(E log E)
         total (a single np.unique on a composite (receiver, owner, col)
         key), independent of shard count — the r1 version ran an O(S^2)
@@ -116,6 +139,7 @@ class HaloShardedGraph:
         n = adj.shape[0]
         S = num_shards
         rows_per = -(-n // S)
+        rows_per = -(-rows_per // rows_per_block) * rows_per_block
         deg = np.asarray(adj.sum(1)).flatten()
         dinv = (1.0 / np.maximum(deg, 1e-12)).astype(np.float32)
 
@@ -155,25 +179,18 @@ class HaloShardedGraph:
         # per-edge remap into the [S, C_max] receive-buffer coordinates
         remapped = (s_of[halo_m] * c_max + pos_in_group[inv]).astype(np.int32)
 
-        # split both edge sets at the shard boundaries (row-sorted, so the
-        # per-shard slices are contiguous; sortedness survives filtering,
-        # which .at[].add(indices_are_sorted=True) relies on)
-        def shard_slices(d_filtered, *arrays):
-            bounds = np.searchsorted(d_filtered, np.arange(S + 1))
-            return [tuple(a[bounds[d]: bounds[d + 1]] for a in arrays)
-                    for d in range(S)]
-
+        # both edge sets arrive sorted by (shard, local_row) — CSR
+        # row-major order survives the boolean filtering
         diag_m = ~halo_m
-        diag_edges = shard_slices(d_of[diag_m], local_r[diag_m],
-                                  local_c[diag_m], vals[diag_m])
-        halo_edges = shard_slices(d_of[halo_m], local_r[halo_m],
-                                  remapped, vals[halo_m])
-
-        rows_d, cols_d, vals_d = _pad_edges(diag_edges, S, rows_per)
-        rows_h, cols_h, vals_h = _pad_edges(halo_edges, S, rows_per)
+        cols_d, vals_d, lrow_d = _fill_sharded_blocks(
+            d_of[diag_m], local_r[diag_m], local_c[diag_m], vals[diag_m],
+            S, rows_per, rows_per_block)
+        cols_h, vals_h, lrow_h = _fill_sharded_blocks(
+            d_of[halo_m], local_r[halo_m], remapped, vals[halo_m],
+            S, rows_per, rows_per_block)
         return HaloShardedGraph(
-            rows_d, cols_d, vals_d, rows_h, cols_h, vals_h,
-            jnp.asarray(send_idx), n, rows_per, c_max)
+            cols_d, vals_d, lrow_d, cols_h, vals_h, lrow_h,
+            jnp.asarray(send_idx), n, rows_per, rows_per_block, c_max)
 
 
 class HaloPropagator:
@@ -185,8 +202,8 @@ class HaloPropagator:
         sh = NamedSharding(mesh, P(axis))
         self.edge_ops = tuple(
             jax.device_put(a, sh)
-            for a in (g.rows_diag, g.cols_diag, g.vals_diag,
-                      g.rows_halo, g.cols_halo, g.vals_halo, g.send_idx))
+            for a in (g.cols_diag, g.vals_diag, g.lrow_diag,
+                      g.cols_halo, g.vals_halo, g.lrow_halo, g.send_idx))
 
     def place(self, x: np.ndarray):
         n, f = self.g.num_nodes, x.shape[1]
@@ -203,34 +220,44 @@ class HaloPropagator:
                 g.rows_per_shard * g.num_shards:
             x = self.place(x)
 
+        r = g.rows_per_block
+
         @functools.partial(
             jax.shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None),) * 6 + (P(axis, None, None),
-                                             P(axis, None)),
+            in_specs=(P(axis, None, None),) * 6 + (P(axis, None, None),
+                                                   P(axis, None)),
             out_specs=P(axis, None))
-        def prop(rows_d, cols_d, vals_d, rows_h, cols_h, vals_h,
+        def prop(cols_d, vals_d, lrow_d, cols_h, vals_h, lrow_h,
                  send_idx, x_local):
-            rows_d, cols_d, vals_d, rows_h, cols_h, vals_h, send_idx = (
-                rows_d[0], cols_d[0], vals_d[0], rows_h[0], cols_h[0],
-                vals_h[0], send_idx[0])
+            cols_d, vals_d, lrow_d, cols_h, vals_h, lrow_h, send_idx = (
+                cols_d[0], vals_d[0], lrow_d[0], cols_h[0], vals_h[0],
+                lrow_h[0], send_idx[0])
             rows_per = x_local.shape[0]
+            iota = jnp.arange(r, dtype=jnp.int32)[:, None]
+
+            def onehot_spmm(blocks, src):
+                def step(_, blk):
+                    c, v, lr = blk
+                    feats = jnp.take(src, c, axis=0) * v[:, None]
+                    onehot = (lr[None, :] == iota).astype(feats.dtype)
+                    return None, jnp.dot(
+                        onehot, feats, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+                _, outs = jax.lax.scan(step, None, blocks,
+                                       unroll=min(4, blocks[0].shape[0]))
+                return outs.reshape(rows_per, src.shape[1])
 
             def apply_p(x_loc):
                 f = x_loc.shape[1]
                 send = jnp.take(x_loc, send_idx, axis=0)  # [S, C, F]
                 halo = jax.lax.all_to_all(
                     send, axis, split_axis=0, concat_axis=0, tiled=False)
-                # diagonal-block partial sum: no data dependence on the
+                # diagonal partial sum: no data dependence on the
                 # all_to_all — XLA overlaps it with the halo in flight
-                acc = jnp.zeros((rows_per + 1, f), x_loc.dtype)
-                acc = acc.at[rows_d].add(
-                    jnp.take(x_loc, cols_d, axis=0) * vals_d[:, None],
-                    indices_are_sorted=True)
+                acc = onehot_spmm((cols_d, vals_d, lrow_d), x_loc)
                 hbuf = halo.reshape(-1, f)                # [S*C, F]
-                acc = acc.at[rows_h].add(
-                    jnp.take(hbuf, cols_h, axis=0) * vals_h[:, None],
-                    indices_are_sorted=True)
-                return acc[:rows_per]
+                return acc + onehot_spmm((cols_h, vals_h, lrow_h), hbuf)
 
             if mode == "ppr":
                 cur = alpha * x_local
