@@ -136,11 +136,13 @@ def cmd_predict(args) -> int:
             from grandtpu.dist import dist_exact_propagate
             propagate = lambda embs: dist_exact_propagate(  # noqa: E731
                 mesh, adj_sl, embs, mode=cfg.prop_mode, order=cfg.order,
-                alpha=cfg.alpha)
+                alpha=cfg.alpha, precision=getattr(args, "precision",
+                                                   "f32"))
         logits = predict_logits_sparse(
             params, state, mlp_cfg, jnp.asarray(padded.attr_cols),
             jnp.asarray(padded.attr_vals), adj_sl, mode=cfg.prop_mode,
-            order=cfg.order, alpha=cfg.alpha, propagate=propagate)
+            order=cfg.order, alpha=cfg.alpha, propagate=propagate,
+            precision=getattr(args, "precision", "f32"))
     else:
         precision = getattr(args, "precision", "f32")
         if mesh is not None:

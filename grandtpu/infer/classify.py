@@ -53,14 +53,17 @@ def predict_logits_sparse(params, state, cfg: MLPConfig, attr_cols,
                           attr_vals, adj_sl, *, mode: str = "ppr",
                           order: int = 10, alpha: float = 0.2,
                           batch_size: int = 10000,
-                          propagate=None) -> np.ndarray:
+                          propagate=None,
+                          precision: str = "f32") -> np.ndarray:
     """Full-graph logits for the sparse-feature (MAG) model: all-node
     embeddings in chunks -> exact propagation in EMBEDDING space -> head
     (reference ``model_mag.py:192-245``; the memory trick that avoids a
     dense [n, vocab] matrix).
 
     propagate: optional override ``embs [n, H] -> propagated [n, H]`` —
-    the sharded trainers pass the row-partitioned mesh operator here."""
+    the sharded trainers pass the row-partitioned mesh operator here.
+    precision: block-SpMM precision for the default propagation path
+    ('f32' | 'bf16' | 'int8')."""
     import functools as _ft
 
     import jax as _jax
@@ -87,7 +90,7 @@ def predict_logits_sparse(params, state, cfg: MLPConfig, attr_cols,
             attr_vals[i: i + batch_size]))
     if propagate is None:
         prop = exact_propagate(adj_sl, embs, mode=mode, order=order,
-                               alpha=alpha)
+                               alpha=alpha, precision=precision)
     else:
         prop = np.asarray(propagate(embs))
     out = np.empty((n, cfg.num_classes), np.float32)
