@@ -372,7 +372,8 @@ def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,
     if estimate_halo_compression(adj_sl, num_shards) < halo_threshold:
         hg = HaloShardedGraph.build(adj_sl, num_shards=num_shards)
         return HaloPropagator(mesh, hg, axis)(
-            features, mode=mode, order=order, alpha=alpha)
+            features, mode=mode, order=order, alpha=alpha,
+            precision=precision)
     g = BlockShardedGraph.build(adj_sl, num_shards=num_shards)
     return BlockShardedPropagator(mesh, g, axis)(
         np.asarray(features, np.float32), mode=mode, order=order,

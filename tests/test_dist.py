@@ -73,6 +73,20 @@ def test_block_sharded_int8_within_quant_tolerance(graph_feats):
     assert np.max(np.abs(got - want)) / scale < 3e-2
 
 
+def test_halo_int8_exchange_within_quant_tolerance(graph_feats):
+    """int8-quantized halo all_to_all: only remote contributions carry
+    quantization noise (diagonal stays f32)."""
+    from grandtpu.dist.halo import HaloPropagator, HaloShardedGraph
+    adj, feats, _ = graph_feats
+    mesh = make_mesh(n_data=8)
+    g = HaloShardedGraph.build(adj, num_shards=8, rows_per_block=8)
+    prop = HaloPropagator(mesh, g)
+    want = prop(feats, mode="ppr", order=4, alpha=0.3)
+    got = prop(feats, mode="ppr", order=4, alpha=0.3, precision="int8")
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.max(np.abs(got - want)) / scale < 3e-2
+
+
 def test_block_sharded_covers_all_edges(graph_feats):
     from grandtpu.dist import BlockShardedGraph
     adj, _, _ = graph_feats
