@@ -101,9 +101,9 @@ def main():
     from grandtpu.infer import Propagator
     prop = Propagator(adj, backend="block")
     prop.nnz = adj.nnz
-    # int8's optimal row-block size differs (256 vs 512 — smaller gather
+    # int8's optimal row-block size differs (288 vs 512 — smaller gather
     # granule, RESULTS.md): give it its own operator like production does
-    prop_q8 = Propagator(adj, backend="block", rows_per_block=256)
+    prop_q8 = Propagator(adj, backend="block", rows_per_block=288)
     prop_q8.nnz = adj.nnz
     f32_eps, f32_out = bench_tpu_spmm(prop, feats, order=order,
                                       precision="f32")

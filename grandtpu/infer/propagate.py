@@ -92,9 +92,10 @@ class Propagator:
                  backend: str | None = None, dtype=jnp.float32,
                  rows_per_block: int | None = None):
         """rows_per_block: block-SpMM row-block size. None = 512, the f32/
-        bf16 optimum; pass 256 for operators dedicated to the int8 path
-        (measured 191M vs 144M edges/s standalone on v5e — the smaller
-        gather granule shifts the block balance)."""
+        bf16 optimum; pass 288 for operators dedicated to the int8 path
+        (in-loop sweep on v5e: R=288 282M edges/s, 320 273M, 256 259M,
+        384 collapses to 166M — the smaller int8 gather granule shifts
+        the block balance; empirical, re-sweep per generation)."""
         n = adj.shape[0]
         deg = np.asarray(adj.sum(1)).flatten()
         dinv = 1.0 / np.maximum(deg, 1e-12)
@@ -148,6 +149,6 @@ def exact_propagate(adj: sp.spmatrix, features, *, mode: str = "ppr",
     """
     prop = Propagator(adj, dense_threshold=dense_threshold, backend=backend,
                       dtype=dtype,
-                      rows_per_block=256 if precision == "int8" else None)
+                      rows_per_block=288 if precision == "int8" else None)
     return prop(features, mode=mode, order=order, alpha=alpha, fast=fast,
                 precision=precision)
