@@ -24,14 +24,17 @@ def log(*a):
 
 def bench_scaling(n=100_000, avg_degree=20, f=128, order=5,
                   shard_counts=None, repeats=3, variant="all_gather"):
-    """variant: 'all_gather' (ShardedPropagator), 'halo' (all_to_all
-    boundary exchange overlapped with the diagonal block), or 'both' —
-    'both' produces the halo-vs-all_gather crossover curve (the halo row
-    also reports its comm-compression ratio)."""
+    """variant: 'block' (BlockShardedPropagator — the production
+    all_gather path on the one-hot-matmul kernel), 'all_gather' (the
+    scatter-add reference implementation), 'halo' (all_to_all boundary
+    exchange overlapped with the diagonal blocks), or 'both'/'all' —
+    crossover curves (the halo row also reports its comm-compression
+    ratio)."""
     import jax
 
     from grandtpu.data import synthetic_graph
-    from grandtpu.dist import (HaloPropagator, HaloShardedGraph,
+    from grandtpu.dist import (BlockShardedGraph, BlockShardedPropagator,
+                               HaloPropagator, HaloShardedGraph,
                                ShardedGraph, make_mesh)
     from grandtpu.dist.spmm_shard import ShardedPropagator
 
@@ -39,7 +42,9 @@ def bench_scaling(n=100_000, avg_degree=20, f=128, order=5,
     if shard_counts is None:
         shard_counts = [s for s in (1, 2, 4, 8, 16, 32)
                         if s <= n_dev]
-    variants = ("all_gather", "halo") if variant == "both" else (variant,)
+    variants = {"both": ("block", "halo"),
+                "all": ("block", "all_gather", "halo")}.get(
+                    variant, (variant,))
     adj, _, _ = synthetic_graph(num_nodes=n, num_classes=8, num_features=4,
                                 avg_degree=avg_degree, seed=0)
     adj = (adj + sp.eye(n, format="csr")).tocsr()
@@ -60,6 +65,9 @@ def bench_scaling(n=100_000, avg_degree=20, f=128, order=5,
                 hg = HaloShardedGraph.build(adj, num_shards=s)
                 prop = HaloPropagator(mesh, hg)
                 row["compression"] = hg.compression
+            elif var == "block":
+                bg = BlockShardedGraph.build(adj, num_shards=s)
+                prop = BlockShardedPropagator(mesh, bg)
             else:
                 g = ShardedGraph.build(adj, num_shards=s)
                 prop = ShardedPropagator(mesh, g)

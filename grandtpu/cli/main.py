@@ -227,9 +227,11 @@ def cli(argv=None) -> int:
                                            "scaling"])
     p_bench.add_argument("--config", default=None,
                          help="train-step config name (default: all)")
-    p_bench.add_argument("--variant", default="all_gather",
-                         choices=["all_gather", "halo", "both"],
-                         help="scaling suite: propagation variant(s)")
+    p_bench.add_argument("--variant", default="block",
+                         choices=["block", "all_gather", "halo", "both",
+                                  "all"],
+                         help="scaling suite: propagation variant(s); "
+                         "block = production one-hot kernel")
     p_bench.set_defaults(fn=cmd_bench)
     args = parser.parse_args(argv)
     try:

@@ -259,6 +259,11 @@ def test_scaling_harness_runs():
     assert [r["shards"] for r in res] == [1, 2, 4]
     assert all(r["edges_per_s"] > 0 for r in res)
     assert res[0]["scaling_efficiency"] == 1.0
+    # the production one-hot variant runs through the same harness
+    res_b = bench_scaling(n=2000, avg_degree=8, f=32, order=2,
+                          shard_counts=[2], repeats=1, variant="block")
+    assert res_b[0]["variant"] == "block"
+    assert res_b[0]["edges_per_s"] > 0
 
 
 @pytest.mark.parametrize("mode", ["ppr", "avg", "single"])
