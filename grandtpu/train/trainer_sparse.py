@@ -64,8 +64,24 @@ def _build_sparse_steps(mlp_cfg: MLPConfig, cfg: GrandConfig, optimizer,
                 training=training, batch_mask=batch_mask)
             return carry_state, jax.nn.log_softmax(logits, axis=-1)
 
-        new_state, logps = jax.lax.scan(one_aug, state, keys)
-        return logps, new_state
+        # vmap the K augmented forwards (same argument as train/step.py:
+        # train-mode BN reads only its own batch stats; the running-stat
+        # EMA chain folds in closed form afterwards, exactly equal to K
+        # sequential updates)
+        states_k, logps = jax.vmap(lambda k: one_aug(state, k))(keys)
+        if not (training and mlp_cfg.use_bn):
+            return logps, state
+
+        from grandtpu.nn.mlp import BN_MOMENTUM
+
+        def fold(s0_leaf, nk_leaf):
+            out = s0_leaf
+            for j in range(cfg.sample):
+                out = (1.0 - BN_MOMENTUM) * out + (
+                    nk_leaf[j] - (1.0 - BN_MOMENTUM) * s0_leaf)
+            return out
+
+        return logps, jax.tree_util.tree_map(fold, state, states_k)
 
     def loss_fn(params, state, attr_cols, attr_vals, tk_cols, tk_vals,
                 batch, key, num_batch):
