@@ -74,6 +74,9 @@ class GrandConfig:
     #                                | 'numpy'; auto = TPU bucket push at
     #                                scale (ppr/api.py:_auto_backend), else
     #                                native host kernel
+    push_cache_dir: Optional[str] = None  # content-addressed on-disk cache
+    #                                of GFPush results (ppr/cache.py) —
+    #                                precompute once, train many
     # (a pallas_dropnode flag existed through r3: the fused kernel lost to
     #  XLA's random_prop on every preset shape on hardware and was deleted)
     scan_steps: bool = False       # roll steps between evals into one

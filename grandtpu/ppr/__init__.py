@@ -14,3 +14,4 @@ Three interchangeable backends, all returning the padded [n_src, K] layout
 from grandtpu.ppr.coef import build_coef  # noqa: F401
 from grandtpu.ppr.oracle import gfpush_numpy  # noqa: F401
 from grandtpu.ppr.api import gfpush  # noqa: F401
+from grandtpu.ppr.cache import cached_gfpush  # noqa: F401

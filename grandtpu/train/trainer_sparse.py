@@ -157,9 +157,16 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     idx_unlabel = np.concatenate([data.idx_val, idx_sample])
     sources = np.concatenate([data.idx_train, idx_unlabel])
 
-    tk = gfpush(adj_sl, sources, prop_mode=cfg.prop_mode, order=cfg.order,
-                alpha=cfg.alpha, rmax=cfg.rmax, k=cfg.top_k,
-                backend=cfg.push_backend)
+    if cfg.push_cache_dir:
+        from grandtpu.ppr import cached_gfpush
+        tk = cached_gfpush(cfg.push_cache_dir, adj_sl, sources,
+                           prop_mode=cfg.prop_mode, order=cfg.order,
+                           alpha=cfg.alpha, rmax=cfg.rmax, k=cfg.top_k,
+                           backend=cfg.push_backend)
+    else:
+        tk = gfpush(adj_sl, sources, prop_mode=cfg.prop_mode,
+                    order=cfg.order, alpha=cfg.alpha, rmax=cfg.rmax,
+                    k=cfg.top_k, backend=cfg.push_backend)
     padded = PaddedFeatures.from_csr(data.features)
     preprocess_time = time.time() - t_start
     verbose(f"preprocessing done, time: {preprocess_time:.3f}s")

@@ -154,6 +154,52 @@ def test_api_dispatch(pushed):
     assert tk.vals.sum(1).max() <= 1.0 + 1e-6
 
 
+def test_push_cache_roundtrip_and_keying(pushed, tmp_path, monkeypatch):
+    """Content-addressed push cache: a hit returns bit-identical results
+    without recomputing; any parameter change misses."""
+    from grandtpu.ppr import api, cached_gfpush
+    adj, coef, sources = pushed
+    d = str(tmp_path)
+    tk1 = cached_gfpush(d, adj, sources, prop_mode="ppr", order=8,
+                        alpha=0.25, rmax=1e-4, k=16, backend="numpy")
+    files = list(tmp_path.glob("push_*.npz"))
+    assert len(files) == 1
+
+    # second call must be a pure cache hit: poison the compute path
+    def boom(*a, **k):
+        raise AssertionError("cache miss — gfpush recomputed")
+
+    monkeypatch.setattr("grandtpu.ppr.cache.gfpush", boom)
+    tk2 = cached_gfpush(d, adj, sources, prop_mode="ppr", order=8,
+                        alpha=0.25, rmax=1e-4, k=16, backend="numpy")
+    np.testing.assert_array_equal(tk1.cols, tk2.cols)
+    np.testing.assert_array_equal(tk1.vals, tk2.vals)
+    assert tk1.num_nodes == tk2.num_nodes
+    monkeypatch.undo()
+
+    # changing k / rmax / sources each produces a NEW entry
+    cached_gfpush(d, adj, sources, prop_mode="ppr", order=8, alpha=0.25,
+                  rmax=1e-4, k=8, backend="numpy")
+    cached_gfpush(d, adj, sources, prop_mode="ppr", order=8, alpha=0.25,
+                  rmax=2e-4, k=16, backend="numpy")
+    cached_gfpush(d, adj, sources[:-1], prop_mode="ppr", order=8,
+                  alpha=0.25, rmax=1e-4, k=16, backend="numpy")
+    assert len(list(tmp_path.glob("push_*.npz"))) == 4
+
+
+def test_trainer_uses_push_cache(tmp_path):
+    """GrandConfig.push_cache_dir: a second identical run reuses the
+    persisted precompute (exactly one cache entry on disk)."""
+    from grandtpu.config import GrandConfig
+    from grandtpu.train import train
+    cfg = GrandConfig(dataset="synth:200:3:12", epochs=2, patience=2,
+                      push_cache_dir=str(tmp_path))
+    train(cfg)
+    assert len(list(tmp_path.glob("push_*.npz"))) == 1
+    train(cfg)
+    assert len(list(tmp_path.glob("push_*.npz"))) == 1
+
+
 def test_bucket_block_backoff(pushed):
     """A slot_limit too small for the requested block halves the block
     and still returns oracle-exact results (heavy fan-out degrades,
