@@ -125,13 +125,17 @@ def main():
     assert err32 < 1e-4, "f32 TPU propagation diverged from reference"
     assert err16 < 5e-3, "bf16 TPU propagation outside bf16 tolerance"
     assert err8 < 5e-3, "int8 TPU propagation outside fast-path tolerance"
-    # headline: the fastest path that passes the same 5e-3 fast-path gate
-    # bf16 was held to since r1 (int8 quantized gather, sparse/spmm.py)
+    # headline: the FASTEST path passing the 5e-3 fast-path gate bf16 was
+    # held to since r1 — int8 on this graph, but the ranking is regime-
+    # dependent (bf16 wins at 5M nodes/deg 14, RESULTS.md), so measure,
+    # don't hardcode
+    best_eps, best_name = max((q8_eps, "int8"), (bf16_eps, "bf16"))
+    log(f"headline path: {best_name}")
     print(json.dumps({
         "metric": "spmm_propagation_edges_per_s",
-        "value": q8_eps,
+        "value": best_eps,
         "unit": "edges/s",
-        "vs_baseline": q8_eps / host_eps,
+        "vs_baseline": best_eps / host_eps,
     }), flush=True)
 
 
