@@ -217,10 +217,12 @@ def cli(argv=None) -> int:
     p_pred.add_argument("--output", default=None,
                         help="output npz path")
     p_pred.add_argument("--precision", default="f32",
-                        choices=["f32", "bf16", "int8"],
+                        choices=["f32", "bf16", "int8", "auto"],
                         help="propagation precision: f32 (default), bf16, "
-                        "or int8 quantized gather (fastest; ~4e-3 rel — "
-                        "see RESULTS.md accuracy evidence)")
+                        "int8 quantized gather (fastest at <=1GiB working "
+                        "sets; ~4e-3 rel — see RESULTS.md accuracy "
+                        "evidence), or auto (measured working-set "
+                        "heuristic between int8 and bf16)")
     p_pred.set_defaults(fn=cmd_predict)
     p_bench = sub.add_parser("bench", help="run a benchmark suite")
     p_bench.add_argument("suite", choices=["spmm", "push", "train-step",

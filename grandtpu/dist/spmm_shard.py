@@ -363,6 +363,14 @@ def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,
     from grandtpu.dist.halo import (HaloPropagator, HaloShardedGraph,
                                     estimate_halo_compression)
 
+    if precision == "auto":
+        # same measured working-set heuristic as the single-chip path;
+        # sized on the GLOBAL [n, F] carry since the all_gather variant
+        # regathers full X per hop and the gather-table regime (not the
+        # per-shard slice) is what sets the int8/bf16 ranking
+        from grandtpu.infer.propagate import choose_fast_precision
+        precision = choose_fast_precision(adj_sl.shape[0],
+                                          int(np.shape(features)[1]))
     num_shards = int(mesh.shape[axis])
     if num_shards == 1:
         from grandtpu.infer import exact_propagate

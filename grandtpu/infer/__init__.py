@@ -7,5 +7,5 @@ unify with the top-k path (SURVEY.md §7.3 item 5).
 """
 
 from grandtpu.infer.propagate import (  # noqa: F401
-    Propagator, exact_propagate)
+    Propagator, choose_fast_precision, exact_propagate)
 from grandtpu.infer.classify import predict_logits, test_accuracy  # noqa: F401

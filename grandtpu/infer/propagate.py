@@ -33,6 +33,24 @@ import scipy.sparse as sp
 from grandtpu.sparse.spmm import (PaddedCSR, SplitCSR, spmm_segment,
                                   spmm_split, spmm_split_q8)
 
+# Measured fast-precision crossover (RESULTS.md: gather-roof study + the
+# 5M-node re-measure). int8-packed gather wins while the f32 feature
+# working set the loop carries stays small (153MB graph: 272.5M edges/s
+# vs 126.6M bf16), but at a 2.56GB working set / avg degree 14 the
+# per-hop quantize+rescale pass outweighs the narrower gather rows and
+# bf16 retakes the lead (158M vs 114M). 1 GiB splits the measured
+# bounds; re-sweep per hardware generation.
+INT8_MAX_WORKING_SET_BYTES = 1 << 30
+
+
+def choose_fast_precision(num_rows: int, num_features: int) -> str:
+    """Heuristic fast-path precision for a block-SpMM workload: 'int8'
+    below the measured working-set crossover, 'bf16' above (see
+    ``INT8_MAX_WORKING_SET_BYTES``). Used to resolve ``precision="auto"``
+    when no timed calibration (``Propagator.calibrate``) has run."""
+    working_set = num_rows * num_features * 4   # the f32 [n, F] carry
+    return "int8" if working_set <= INT8_MAX_WORKING_SET_BYTES else "bf16"
+
 
 @functools.partial(jax.jit,
                    static_argnames=("mode", "order", "backend", "precision"))
@@ -114,17 +132,76 @@ class Propagator:
             self.adj_op = PaddedCSR.from_scipy(a_norm)
         self.backend = backend
         self.dtype = dtype
+        self.num_rows = n
+        self._auto_precision: str | None = None
+
+    def calibrate(self, features, *, mode: str = "ppr", order: int = 5,
+                  alpha: float = 0.2, candidates=("bf16", "int8"),
+                  gate: float = 5e-3, repeats: int = 3) -> str:
+        """Timed on-device precision autotune (the int8/bf16 ranking is
+        regime-dependent — RESULTS.md 5M-node study — so measure on the
+        REAL operands when the operator will be reused). Runs the f32
+        path once as the accuracy reference, drops any candidate whose
+        max rel err exceeds ``gate`` (the fast-path tolerance bench.py
+        enforces), times the survivors, and caches the fastest — later
+        ``precision="auto"`` calls on this Propagator use the cached
+        choice. Returns it ('f32' if no candidate passes the gate).
+
+        Timing protocol: operands device-resident; dispatch all repeats
+        then sync once with a scalar fetch (``block_until_ready`` can
+        return early through the tunnel — see CLAUDE.md)."""
+        import time
+
+        if self.backend != "block":   # dense/segment ignore precision
+            self._auto_precision = "f32"
+            return "f32"
+        x = jnp.asarray(features, self.dtype)
+        jax.block_until_ready(x)
+
+        def run_sync(p):
+            out = self(x, mode=mode, order=order, alpha=alpha, precision=p)
+            jax.block_until_ready(out)
+            float(jnp.sum(out[:1, :1]))   # true sync through the tunnel
+            return out
+
+        ref = np.asarray(run_sync("f32"))
+        scale = max(float(np.max(np.abs(ref))), 1e-9)
+        best, best_dt = "f32", None
+        for p in candidates:
+            out = run_sync(p)   # compile + the error sample
+            err = float(np.max(np.abs(np.asarray(out) - ref))) / scale
+            if err > gate:
+                continue
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                out = self(x, mode=mode, order=order, alpha=alpha,
+                           precision=p)
+            jax.block_until_ready(out)
+            float(jnp.sum(out[:1, :1]))
+            dt = (time.perf_counter() - t0) / repeats
+            if best_dt is None or dt < best_dt:
+                best, best_dt = p, dt
+        self._auto_precision = best
+        return best
 
     def __call__(self, features, *, mode: str = "ppr", order: int = 10,
                  alpha: float = 0.2, fast: bool = False,
                  precision: str | None = None) -> jnp.ndarray:
-        """precision: 'f32' (default), 'bf16' (== fast=True), or 'int8'
-        (per-column-quantized gather, the fastest block path — see
-        sparse/spmm.py int8 note). Applies to the 'block' backend; the
-        'dense' small-graph path always runs f32 MXU (already fast).
-        `fast` is the legacy bool alias."""
+        """precision: 'f32' (default), 'bf16' (== fast=True), 'int8'
+        (per-column-quantized gather — see sparse/spmm.py int8 note), or
+        'auto' (the cached ``calibrate()`` choice if one ran, else the
+        measured working-set heuristic ``choose_fast_precision``).
+        Applies to the 'block' backend; the 'dense' small-graph path
+        always runs f32 MXU (already fast). `fast` is the legacy bool
+        alias."""
         if precision is None:
             precision = "bf16" if fast else "f32"
+        if precision == "auto":
+            if self.backend != "block":
+                precision = "f32"
+            else:
+                precision = self._auto_precision or choose_fast_precision(
+                    self.num_rows, np.shape(features)[1])
         x = jnp.asarray(features, self.dtype)
         return _propagate_device(self.adj_op, x, mode=mode,
                                  order=order, alpha=float(alpha),
@@ -143,10 +220,15 @@ def exact_propagate(adj: sp.spmatrix, features, *, mode: str = "ppr",
 
     backend: None = auto ('dense' under dense_threshold, else 'block' with
     'segment' fallback on >2x padding overhead). precision 'bf16'
-    (== fast=True, rel err ~1e-3) and 'int8' (quantized gather, fastest)
-    are opt-in — the default stays f32 because this feeds the
-    accuracy-critical test-time propagation.
+    (== fast=True, rel err ~1e-3), 'int8' (quantized gather, fastest at
+    <=1GiB working sets), and 'auto' (working-set heuristic between the
+    two, resolved BEFORE the operator build so int8 gets its own R=288
+    block size) are opt-in — the default stays f32 because this feeds
+    the accuracy-critical test-time propagation.
     """
+    if precision == "auto":
+        precision = choose_fast_precision(adj.shape[0],
+                                          np.shape(features)[1])
     prop = Propagator(adj, dense_threshold=dense_threshold, backend=backend,
                       dtype=dtype,
                       rows_per_block=288 if precision == "int8" else None)
