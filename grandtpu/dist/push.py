@@ -106,13 +106,17 @@ def push_source_shard(adj, sources: np.ndarray, rank: int, world: int, *,
 def multihost_native_gfpush(adj, sources: np.ndarray, *,
                             prop_mode: str = "ppr", order: int = 10,
                             alpha: float = 0.2, rmax: float = 1e-7,
-                            k: int = 32, num_threads: int = 0):
-    """GFPush sharded over JAX processes; native kernel per host.
+                            k: int = 32, num_threads: int = 0,
+                            backend: str = "native"):
+    """GFPush sharded over JAX processes; per-host kernel selectable.
 
-    Single-process (this environment) degenerates to the plain native
+    Single-process (this environment) degenerates to the plain per-host
     call. Multi-process: every host pushes its shard, one
     ``process_allgather`` moves the padded [per, k] tables over DCN —
     comm volume n_src*k*(4+4) bytes total, independent of graph size.
+    backend: the per-host kernel — 'native' (C++/OpenMP, default),
+    'bucket' (each host drives its own chip with the TPU bucket push),
+    or 'auto' (the measured-throughput dispatch policy in ppr/api.py).
     """
     from grandtpu.sparse.topk import TopKProp
 
@@ -121,7 +125,8 @@ def multihost_native_gfpush(adj, sources: np.ndarray, *,
     rank = jax.process_index()
     lo, hi, cols, vals = push_source_shard(
         adj, sources, rank, world, prop_mode=prop_mode, order=order,
-        alpha=alpha, rmax=rmax, k=k, num_threads=num_threads)
+        alpha=alpha, rmax=rmax, k=k, num_threads=num_threads,
+        backend=backend)
     if world == 1:
         return TopKProp(sources, cols, vals, adj.shape[0])
 

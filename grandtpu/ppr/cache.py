@@ -49,7 +49,9 @@ def push_cache_key(indptr: np.ndarray, indices: np.ndarray,
 
 
 def save_topk(path: str, tk: TopKProp) -> None:
-    tmp = path + ".tmp.npz"   # already .npz-suffixed: savez won't rename it
+    # pid-unique tmp (two concurrent misses must not interleave writes into
+    # one tmp file); already .npz-suffixed so savez won't rename it
+    tmp = path + f".tmp{os.getpid()}.npz"
     np.savez_compressed(tmp, sources=tk.sources, cols=tk.cols, vals=tk.vals,
                         num_nodes=np.int64(tk.num_nodes))
     os.replace(tmp, path)

@@ -342,6 +342,29 @@ def test_multihost_push_shards_union_to_full(graph_feats):
     assert got.num_nodes == full.num_nodes
 
 
+def test_multihost_push_bucket_backend(graph_feats):
+    """backend= threads through to the per-host kernel: bucket-push shards
+    union to the full bucket run (each host could drive its own chip)."""
+    from grandtpu.dist.push import multihost_native_gfpush, push_source_shard
+    from grandtpu.ppr import gfpush
+
+    adj, _, _ = graph_feats
+    sources = np.arange(0, 120, 4)  # 30 sources, world=3 -> shards 10/10/10
+    kw = dict(prop_mode="ppr", order=4, alpha=0.3, rmax=1e-4, k=8)
+    full = gfpush(adj, sources, backend="bucket", **kw)
+
+    parts = [push_source_shard(adj, sources, rank, 3, backend="bucket", **kw)
+             for rank in range(3)]
+    np.testing.assert_array_equal(
+        np.concatenate([c for _, _, c, _ in parts]), full.cols)
+    np.testing.assert_array_equal(
+        np.concatenate([v for _, _, _, v in parts]), full.vals)
+
+    got = multihost_native_gfpush(adj, sources, backend="bucket", **kw)
+    np.testing.assert_array_equal(got.cols, full.cols)
+    np.testing.assert_array_equal(got.vals, full.vals)
+
+
 @pytest.mark.parametrize("emb_mode,mesh_shape", [("vocab", (8, 1)),
                                                  ("tp", (4, 2))])
 def test_gspmd_sharded_sparse_step(emb_mode, mesh_shape):
