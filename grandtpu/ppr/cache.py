@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 
 import numpy as np
 import scipy.sparse as sp
@@ -49,12 +50,18 @@ def push_cache_key(indptr: np.ndarray, indices: np.ndarray,
 
 
 def save_topk(path: str, tk: TopKProp) -> None:
-    # pid-unique tmp (two concurrent misses must not interleave writes into
-    # one tmp file); already .npz-suffixed so savez won't rename it
-    tmp = path + f".tmp{os.getpid()}.npz"
-    np.savez_compressed(tmp, sources=tk.sources, cols=tk.cols, vals=tk.vals,
-                        num_nodes=np.int64(tk.num_nodes))
-    os.replace(tmp, path)
+    # unique tmp per writer (two concurrent misses must not interleave
+    # writes into one tmp file). uuid4 rather than pid alone: pids collide
+    # across hosts sharing a network cache dir. Already .npz-suffixed so
+    # savez won't rename it; unlink on failure so crashes don't orphan tmps.
+    tmp = path + f".tmp{uuid.uuid4().hex}.npz"
+    try:
+        np.savez_compressed(tmp, sources=tk.sources, cols=tk.cols,
+                            vals=tk.vals, num_nodes=np.int64(tk.num_nodes))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_topk(path: str) -> TopKProp:
