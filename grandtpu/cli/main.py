@@ -52,7 +52,18 @@ def _build_config(args) -> GrandConfig:
     return base.replace(**overrides)
 
 
+def _apply_platform(args) -> None:
+    """Force the JAX backend before anything initializes it. Env-var
+    routes (JAX_PLATFORMS) are ignored under the axon TPU plugin, so this
+    must be jax.config.update — and early (see CLAUDE.md)."""
+    plat = getattr(args, "platform", None)
+    if plat and plat != "default":
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def cmd_run(args) -> int:
+    _apply_platform(args)
     from grandtpu.train import train
 
     cfg = _build_config(args)
@@ -78,6 +89,7 @@ def cmd_run(args) -> int:
     summary = {
         "dataset": cfg.dataset, "prop_mode": cfg.prop_mode,
         "runs": len(accs),
+        "accs": [float(a) for a in accs],
         "test_acc_mean": float(np.mean(accs)),
         "test_acc_std": float(np.std(accs)),
         "time_mean_s": float(np.mean(times)),
@@ -92,6 +104,7 @@ def cmd_predict(args) -> int:
     """Offline serving: load a checkpoint, classify every node with exact
     full-graph propagation, write logits+predictions to an npz (no reference
     equivalent — the reference can only predict inside a training run)."""
+    _apply_platform(args)
     import numpy as np
 
     import jax
@@ -206,12 +219,18 @@ def cli(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_run = sub.add_parser("run", help="train + evaluate one config")
     _add_config_flags(p_run)
+    p_run.add_argument("--platform", default="default",
+                       choices=["default", "cpu", "tpu"],
+                       help="JAX backend (cpu avoids the shared chip; "
+                       "JAX_PLATFORMS env is ignored under the axon plugin)")
     p_run.set_defaults(fn=cmd_run)
     p_pre = sub.add_parser("presets", help="list per-dataset presets")
     p_pre.set_defaults(fn=cmd_presets)
     p_pred = sub.add_parser(
         "predict", help="classify all nodes from a checkpoint")
     _add_config_flags(p_pred)
+    p_pred.add_argument("--platform", default="default",
+                        choices=["default", "cpu", "tpu"])
     p_pred.add_argument("--ckpt", required=True,
                         help="checkpoint npz (best.npz from --ckpt-dir)")
     p_pred.add_argument("--output", default=None,

@@ -23,11 +23,26 @@ def synthetic_graph(num_nodes: int = 400,
                     feature_noise: float = 0.6,
                     sparse_features: bool = False,
                     feature_nnz: int = 24,
+                    bow_uniform_frac: float = 0.2,
+                    nonneg_features: bool = False,
+                    label_noise: float = 0.0,
                     seed: int = 0):
     """Return (adj csr, features, labels_onehot) for an SBM graph.
 
     features: dense float32 [n, f] or CSR (sparse_features=True) with
     class-dependent support, mimicking the MAG bag-of-words regime.
+    Difficulty knobs (used by ``tools/make_synth_ref_data.py`` to land
+    reference accuracy in a non-trivial 0.7-0.9 band): ``feature_noise``
+    (dense), ``bow_uniform_frac`` (sparse: fraction of tokens drawn
+    uniformly instead of from the class band), ``p_in_over_p_out``
+    (graph class mixing). ``nonneg_features`` clips dense features at 0
+    (planetoid fixtures are row-normalized by the loader, which needs
+    non-negative rows with positive sums). ``label_noise`` flips that
+    fraction of OBSERVED labels to a uniformly random other class after
+    edges/features are generated from the true labels — a smooth,
+    deterministic accuracy ceiling of ~(1 - label_noise), unlike feature
+    hardness whose difficulty cliff interacts bimodally with the
+    reference's early stopping.
     """
     rng = np.random.RandomState(seed)
     # balanced classes so 20/30-per-class stratified splits always succeed
@@ -57,6 +72,10 @@ def synthetic_graph(num_nodes: int = 400,
         proto = rng.randn(num_classes, num_features).astype(np.float32)
         feats = proto[labels] + feature_noise * rng.randn(
             num_nodes, num_features).astype(np.float32)
+        if nonneg_features:
+            np.maximum(feats, 0.0, out=feats)
+            # guarantee positive row sums so row-normalization is defined
+            feats[:, 0] += 0.01
     else:
         # bag-of-words CSR built directly in sparse form (scales to MAG-size
         # vocabularies): each class owns a band of the vocabulary; 80% of a
@@ -66,14 +85,18 @@ def synthetic_graph(num_nodes: int = 400,
         in_band = rng.randint(0, band, size=(num_nodes, nnz_per)) \
             + labels[:, None] * band
         uniform = rng.randint(0, num_features, size=(num_nodes, nnz_per))
-        cols = np.where(rng.rand(num_nodes, nnz_per) < 0.2, uniform,
-                        np.minimum(in_band, num_features - 1))
+        cols = np.where(rng.rand(num_nodes, nnz_per) < bow_uniform_frac,
+                        uniform, np.minimum(in_band, num_features - 1))
         rows = np.repeat(np.arange(num_nodes), nnz_per)
         feats = sp.coo_matrix(
             (np.ones(rows.shape[0], np.float32), (rows, cols.ravel())),
             shape=(num_nodes, num_features)).tocsr()
         feats.sum_duplicates()
         feats.data[:] = 1.0
+    if label_noise > 0.0:
+        flip = rng.rand(num_nodes) < label_noise
+        offs = rng.randint(1, num_classes, size=num_nodes)
+        labels = np.where(flip, (labels + offs) % num_classes, labels)
     onehot = np.zeros((num_nodes, num_classes), dtype=np.float32)
     onehot[np.arange(num_nodes), labels] = 1.0
     return adj, feats, onehot

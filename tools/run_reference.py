@@ -68,7 +68,47 @@ PRESET_FLAGS = {
     "--hidden_droprate 0.0 --weight_decay 1e-3 --unlabel_batch_size 100 "
     "--batch_size 50 --patience 200 --hidden 256 --clip-norm -1 --sample 2 "
     "--rmax 1e-7 --dataset citeseer --loss l2 --lr 0.001",
+    # scripts/run_pubmed.sh (duplicate --patience is verbatim; argparse
+    # keeps the last one, 50)
+    ("pubmed", "ppr"): "--dataset pubmed --use_bn --node_norm "
+    "--clip-norm 0.1 --stop_mode both --patience 100 --weight_decay 1e-2 "
+    "--nlayers 1 --input_droprate 0.2 --hidden_droprate 0.2 --patience 50 "
+    "--sample 2 --prop_mode ppr --alpha 0.5 --warmup 100 --top_k 16 "
+    "--rmax 1e-5 --unlabel_batch_size 100 --batch_size 5 --order 6",
+    # scripts/run_aminer.sh
+    ("aminer", "ppr"): "--dataset aminer --use_bn --lr 0.01 --rmax 1e-5 "
+    "--nlayers 1 --warmup 100 --prop_mode ppr --stop_mode acc --order 6 "
+    "--loss kl --weight_decay 1e-2 --input_droprate 0.0 "
+    "--hidden_droprate 0.0 --top_k 64 --lam 1.5 --unlabel_num 10000 "
+    "--unlabel_batch_size 100 --batch_size 20 --alpha 0.1 --patience 10",
+    # scripts/run_reddit.sh
+    ("reddit", "ppr"): "--dataset reddit --use_bn --node_norm --lr 1e-4 "
+    "--hidden 512 --rmax 1e-5 --nlayers 2 --warmup 500 --prop_mode ppr "
+    "--stop_mode acc --order 6 --loss kl --weight_decay 0.0 "
+    "--clip-norm 0.1 --input_droprate 0.0 --hidden_droprate 0.0 "
+    "--top_k 64 --lam 1.5 --unlabel_num 10000 --unlabel_batch_size 200 "
+    "--batch_size 50 --alpha 0.05 --patience 20 --tem 0.1",
+    # scripts/run_amazon2m.sh
+    ("Amazon2M", "ppr"): "--dataset Amazon2M --use_bn --node_norm "
+    "--lr 1e-3 --hidden 1024 --rmax 1e-6 --nlayers 2 --warmup 500 "
+    "--tem 0.1 --prop_mode ppr --stop_mode acc --order 6 --loss kl "
+    "--weight_decay 1e-5 --clip-norm -1 --input_droprate 0.0 "
+    "--hidden_droprate 0.0 --top_k 64 --lam 0.8 --unlabel_num 10000 "
+    "--unlabel_batch_size 200 --batch_size 50 --alpha 0.2 --patience 30",
+    # scripts/run_mag.sh (sparse-feature engine, model_mag.py)
+    ("mag_scholar_c", "ppr"): "--dataset mag_scholar_c --lr 0.01 "
+    "--unlabel_num 10000 --stop_mode acc --weight_decay 0 "
+    "--input_droprate 0.0 --hidden_droprate 0.2 --dropnode_rate 0.5 "
+    "--patience 20 --sample 2 --alpha 0.2 --warmup 1000 "
+    "--unlabel_batch_size 20 --eval_batch 10 --batch_size 20 --loss l2 "
+    "--clip-norm -1 --order 10 --rmax 1e-5 --lam 1.0 --top_k 32 "
+    "--prop_mode ppr",
 }
+
+# datasets whose run scripts vary the SPLIT seed across runs
+# (--seed1_runs N --seed2_runs 1); the citation datasets vary the init
+# seed instead (README.md protocol, run_model.py:83-86)
+SEED1_PROTOCOL = {"aminer", "reddit", "Amazon2M", "mag_scholar_c"}
 
 
 def install_shims() -> None:
@@ -79,6 +119,10 @@ def install_shims() -> None:
     # reference's `.to(device)` with an int cuda ordinal (model.py:231,314)
     # must stay on host
     torch.cuda.set_device = lambda *a, **k: None
+    # model_mag.py hard-codes .cuda() (e.g. model_mag.py:33,76) regardless
+    # of --no-cuda; keep everything on host on this CPU-only build
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.Tensor.cuda = lambda self, *a, **k: self
     _orig_to = torch.Tensor.to
 
     def _to(self, *a, **k):
@@ -174,6 +218,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--out", default=None,
                     help="append the result JSON line to this file")
+    ap.add_argument("--data_dir", default=None,
+                    help="dataset dir the workdir's dataset/ symlink points "
+                    "at (e.g. build/refdata_synth from "
+                    "make_synth_ref_data.py); default: the reference mount")
     args = ap.parse_args()
     if args.out:
         # resolve BEFORE the os.chdir below — a relative --out otherwise
@@ -184,18 +232,28 @@ def main() -> None:
 
     # cwd with a dataset/ symlink; the reference resolves data paths
     # relative to cwd (utils/data_loader.py:17-20,87-88) and writes its
-    # best-weights pickle to cwd (model.py:350-351)
-    work = os.path.join(REPO, "build", "refwork")
+    # best-weights pickle to cwd (model.py:350-351). A custom --data_dir
+    # gets its own workdir so concurrent real-data runs are unaffected.
+    if args.data_dir:
+        data_dir = os.path.abspath(args.data_dir)
+        work = os.path.join(REPO, "build", "refwork_synth")
+    else:
+        data_dir = os.path.join(REF, "dataset")
+        work = os.path.join(REPO, "build", "refwork")
     os.makedirs(work, exist_ok=True)
     link = os.path.join(work, "dataset")
+    if os.path.islink(link) and os.readlink(link) != data_dir:
+        os.unlink(link)
     if not os.path.islink(link):
-        os.symlink(os.path.join(REF, "dataset"), link)
+        os.symlink(data_dir, link)
     os.chdir(work)
 
     install_shims()
     sys.path.insert(0, REF)
-    sys.argv = (["run_model.py"] + flags
-                + ["--seed2_runs", str(args.runs), "--no-cuda"])
+    seed_flags = (["--seed1_runs", str(args.runs), "--seed2_runs", "1"]
+                  if args.dataset in SEED1_PROTOCOL
+                  else ["--seed2_runs", str(args.runs)])
+    sys.argv = ["run_model.py"] + flags + seed_flags + ["--no-cuda"]
 
     tee = _Tee(sys.stdout)
     old = sys.stdout
@@ -209,9 +267,12 @@ def main() -> None:
     text = tee.buf.getvalue()
     accs = [float(m) for m in re.findall(r"Test Accuracy ([0-9.]+)", text)]
     import numpy as np
+    proto = ("reference run_model.py seed1=0..N-1 seed2=0"
+             if args.dataset in SEED1_PROTOCOL
+             else "reference run_model.py seed1=0 seed2=0..N-1")
     result = {
         "dataset": args.dataset, "prop_mode": args.prop_mode,
-        "protocol": "reference run_model.py seed1=0 seed2=0..N-1",
+        "protocol": proto,
         "n": len(accs), "accs": accs,
         "mean": float(np.mean(accs)) if accs else None,
         "std": float(np.std(accs)) if accs else None,
