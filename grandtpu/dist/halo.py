@@ -31,6 +31,8 @@ import dataclasses
 import functools
 
 import numpy as np
+
+from grandtpu.dist.mesh import fetch_replicated
 import scipy.sparse as sp
 
 import jax
@@ -310,4 +312,4 @@ class HaloPropagator:
             return out
 
         result = prop(*self.edge_ops, x)
-        return np.asarray(result)[: g.num_nodes]
+        return fetch_replicated(self.mesh, result)[: g.num_nodes]

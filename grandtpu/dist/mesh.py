@@ -22,3 +22,21 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
         f"need {n_data * n_model} devices, have {devices.size}"
     grid = devices[: n_data * n_model].reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
+
+
+def fetch_replicated(mesh: Mesh, x) -> np.ndarray:
+    """Bring a (possibly cross-process-sharded) global array to host numpy.
+
+    Single-process arrays are fully addressable and fetch directly; in a
+    multi-process run (``jax.distributed.initialize``) a row-sharded
+    shard_map output spans processes, so reshard it to replicated first —
+    one XLA all_gather — and read the local copy. Used by the sharded
+    propagators so the same code path serves the virtual mesh AND real
+    multi-host runs.
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = jax.jit(lambda a: a,
+                   out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(repl)

@@ -18,6 +18,8 @@ import dataclasses
 import functools
 
 import numpy as np
+
+from grandtpu.dist.mesh import fetch_replicated
 import scipy.sparse as sp
 
 import jax
@@ -106,7 +108,7 @@ class ShardedPropagator:
             x = self.place(x)
         out = _sharded_prop(self.mesh, self.axis, mode, order, alpha,
                             self.rows_l, self.cols, self.vals, self.dinv, x)
-        return np.asarray(out)[: self.g.num_nodes]
+        return fetch_replicated(self.mesh, out)[: self.g.num_nodes]
 
 
 def sharded_propagate(mesh: Mesh, g: ShardedGraph, x: np.ndarray, *,
@@ -264,7 +266,7 @@ class BlockShardedPropagator:
         out = _block_sharded_prop(self.mesh, self.axis, mode, order, alpha,
                                   precision, g.rows_per_block, self.cols,
                                   self.vals, self.lrow, x)
-        return np.asarray(out)[: g.num_nodes]
+        return fetch_replicated(self.mesh, out)[: g.num_nodes]
 
 
 def _block_sharded_prop(mesh, axis, mode, order, alpha, precision, r,

@@ -30,8 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from grandtpu.sparse.spmm import (PaddedCSR, SplitCSR, spmm_segment,
-                                  spmm_split, spmm_split_q8)
+from grandtpu.sparse.spmm import (PaddedCSR, SplitCSR, row_values_if_constant,
+                                  spmm_segment, spmm_split, spmm_split_q8,
+                                  spmm_split_q8mxu)
 
 # Measured fast-precision crossover (RESULTS.md: gather-roof study + the
 # 5M-node re-measure). int8-packed gather wins while the f32 feature
@@ -55,7 +56,8 @@ def choose_fast_precision(num_rows: int, num_features: int) -> str:
 @functools.partial(jax.jit,
                    static_argnames=("mode", "order", "backend", "precision"))
 def _propagate_device(adj_op, x, *, mode: str, order: int,
-                      alpha, backend: str, precision: str = "f32"):
+                      alpha, backend: str, precision: str = "f32",
+                      row_val=None):
     # D^-1 is folded into the operator values at build time (one less
     # [n, F] elementwise pass per iteration)
     def apply_p(v):
@@ -63,7 +65,15 @@ def _propagate_device(adj_op, x, *, mode: str, order: int,
             return jnp.dot(adj_op, v, preferred_element_type=jnp.float32)
         if backend == "block":
             # v is block-padded; keep it padded through the loop
-            if precision == "int8":
+            if precision in ("int8", "int8mxu"):
+                # true int8 MXU matmul whenever the operator has
+                # row-constant values (D^-1 A does): measured on v5e
+                # 325.9M vs 272.7M edges/s AND rel err 1.8e-3 vs 4.3e-3
+                # (bench/q8mxu_probe.py) — strictly better, so plain
+                # "int8" auto-upgrades; the bf16-cast kernel remains for
+                # general-valued operators
+                if row_val is not None:
+                    return spmm_split_q8mxu(adj_op, v, row_val, trim=False)
                 return spmm_split_q8(adj_op, v, trim=False)
             return spmm_split(adj_op, v, fast=precision == "bf16",
                               trim=False)
@@ -128,6 +138,16 @@ class Propagator:
             # falling back to the ~6x-slower scatter path
             self.adj_op = SplitCSR.from_scipy(
                 a_norm, rows_per_block=rows_per_block or 512)
+            # D^-1 A values are row-constant (1/deg) — precompute the
+            # per-row value so the int8mxu path can run the one-hot matmul
+            # as exact int8 x int8 -> int32 on the MXU
+            rv = row_values_if_constant(a_norm)
+            if rv is not None:
+                n_pad = (self.adj_op.num_blocks
+                         * self.adj_op.rows_per_block)
+                self.row_val = jnp.asarray(np.pad(rv, (0, n_pad - n)))
+            else:
+                self.row_val = None
         else:
             self.adj_op = PaddedCSR.from_scipy(a_norm)
         self.backend = backend
@@ -202,10 +222,17 @@ class Propagator:
             else:
                 precision = self._auto_precision or choose_fast_precision(
                     self.num_rows, np.shape(features)[1])
+        if precision == "int8mxu" and getattr(self, "row_val", None) is None:
+            raise ValueError(
+                "int8mxu needs row-constant operator values (D^-1 A has "
+                "them; this operator does not) — use 'int8' instead")
+        if self.backend != "block" and precision == "int8mxu":
+            raise ValueError("int8mxu applies to the 'block' backend only")
         x = jnp.asarray(features, self.dtype)
         return _propagate_device(self.adj_op, x, mode=mode,
                                  order=order, alpha=float(alpha),
-                                 backend=self.backend, precision=precision)
+                                 backend=self.backend, precision=precision,
+                                 row_val=getattr(self, "row_val", None))
 
 
 def exact_propagate(adj: sp.spmatrix, features, *, mode: str = "ppr",

@@ -235,3 +235,70 @@ def test_split_mega_hub_spans_multiple_chunks():
     assert (row0 == (77 // 64) * 64).sum() >= 2, "hub must span >= 2 chunks"
     got = spmm_split(scsr, jnp.asarray(x), fast=False)
     np.testing.assert_allclose(np.asarray(got), adj.dot(x), atol=1e-4)
+
+
+def test_row_values_if_constant():
+    """D^-1 A qualifies; a perturbed row must be refused."""
+    import scipy.sparse as sp
+    from grandtpu.sparse.spmm import row_values_if_constant
+    rs = np.random.RandomState(5)
+    adj = sp.random(64, 64, density=0.1, format="csr", random_state=rs)
+    adj = (adj + sp.eye(64, format="csr")).tocsr()
+    adj.data[:] = 1.0   # binarize AFTER the self-loop add (random entries
+    # can land on the diagonal; 2.0 there would rightly trigger refusal)
+    deg = np.asarray(adj.sum(1)).flatten()
+    a_norm = sp.diags(1.0 / deg).dot(adj).tocsr()
+    rv = row_values_if_constant(a_norm)
+    assert rv is not None
+    np.testing.assert_allclose(rv, 1.0 / deg, rtol=1e-6)
+    bad = a_norm.copy()
+    bad.data[0] *= 2.0
+    assert row_values_if_constant(bad) is None
+
+
+def test_split_q8mxu_matches_q8(adj_x):
+    """The int8-MXU variant (exact int8 x int8 -> int32 matmul, per-row
+    value applied after) must track the same quantized result as the
+    bf16-cast q8 kernel MINUS its bf16 rounding — i.e. at least as close
+    to the float reference (measured on v5e: 1.8e-3 vs 4.3e-3 rel on the
+    bench graph; bench/q8mxu_probe.py)."""
+    import scipy.sparse as sp
+    from grandtpu.sparse.spmm import (SplitCSR, row_values_if_constant,
+                                      spmm_split_q8, spmm_split_q8mxu)
+    adj, x = adj_x
+    deg = np.asarray(adj.sum(1)).flatten()
+    a_norm = sp.diags(1.0 / np.maximum(deg, 1e-12)).dot(adj).tocsr()
+    rv = row_values_if_constant(a_norm)
+    assert rv is not None
+    scsr = SplitCSR.from_scipy(a_norm, rows_per_block=64, pad_multiple=128)
+    n = adj.shape[0]
+    n_pad = scsr.num_blocks * scsr.rows_per_block
+    rv_pad = jnp.asarray(np.pad(rv, (0, n_pad - n)))
+    xp = jnp.pad(jnp.asarray(x), ((0, n_pad - n), (0, 0)))
+    want = a_norm.dot(x)
+    scale = max(np.abs(want).max(), 1e-9)
+    got_mxu = np.asarray(spmm_split_q8mxu(scsr, xp, rv_pad))[:n]
+    got_q8 = np.asarray(spmm_split_q8(scsr, xp))[:n]
+    err_mxu = np.max(np.abs(got_mxu - want)) / scale
+    err_q8 = np.max(np.abs(got_q8 - want)) / scale
+    assert err_mxu < 2e-2
+    assert err_mxu <= err_q8 + 1e-6, (err_mxu, err_q8)
+
+
+def test_propagator_int8_auto_upgrades_to_mxu(adj_x):
+    """precision='int8' rides the MXU kernel when row values are constant
+    (Propagator builds row_val for D^-1 A); 'int8mxu' must agree with it
+    bit-for-bit, and still work through the ppr loop."""
+    import scipy.sparse as sp
+    from grandtpu.infer import Propagator
+    adj, x = adj_x
+    prop = Propagator(adj, backend="block")
+    assert prop.row_val is not None
+    a = np.asarray(prop(x, mode="ppr", order=3, alpha=0.2,
+                        precision="int8"))
+    b = np.asarray(prop(x, mode="ppr", order=3, alpha=0.2,
+                        precision="int8mxu"))
+    np.testing.assert_array_equal(a, b)
+    want = np.asarray(prop(x, mode="ppr", order=3, alpha=0.2))
+    scale = max(np.abs(want).max(), 1e-9)
+    assert np.max(np.abs(a - want)) / scale < 3e-2
