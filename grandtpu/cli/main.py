@@ -68,6 +68,7 @@ def cmd_run(args) -> int:
 
     cfg = _build_config(args)
     accs, times, btimes, nbatches = [], [], [], []
+    bmeds = []
     # multi-run protocols enumerate seeds 0..N-1 exactly like the reference
     # driver (run_model.py:83-86). Deliberate divergence: the reference
     # overwrites seed1/seed2 even for a single run (a 1x1 run always gets
@@ -83,6 +84,7 @@ def cmd_run(args) -> int:
             accs.append(r.test_acc)
             times.append(r.total_time)
             btimes.append(r.batch_time_avg)
+            bmeds.append(r.batch_time_median)
             nbatches.append(r.num_batches)
             print(f"split run: {s1}, init run: {s2}, "
                   f"acc: {r.test_acc:.4f}, avg acc: {np.mean(accs):.4f}")
@@ -94,6 +96,7 @@ def cmd_run(args) -> int:
         "test_acc_std": float(np.std(accs)),
         "time_mean_s": float(np.mean(times)),
         "batch_time_mean_s": float(np.mean(btimes)),
+        "batch_time_median_s": float(np.median(bmeds)),
         "num_batches_mean": float(np.mean(nbatches)),
     }
     print(json.dumps(summary))

@@ -45,6 +45,9 @@ class TrainResult:
     num_batches: int
     total_time: float
     batch_time_avg: float
+    batch_time_median: float   # tunnel-robust signal: the axon tunnel adds
+    # many-x run-to-run variance to means (RESULTS.md scale-run caveat);
+    # the median ignores stall outliers so rounds stay comparable
     preprocess_time: float
     params: object = None
     state: object = None
@@ -185,6 +188,7 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
         best_val_loss=best["loss"], num_batches=out["num_batch"],
         total_time=total_time,
         batch_time_avg=float(np.mean(bt)) if bt else 0.0,
+        batch_time_median=float(np.median(bt)) if bt else 0.0,
         preprocess_time=preprocess_time,
         params=best["params"], state=best["state"],
         history=out["history"])

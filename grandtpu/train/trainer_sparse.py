@@ -288,5 +288,7 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
         best_val_loss=best["loss"], num_batches=num_batch,
         total_time=total_time,
         batch_time_avg=float(np.mean(batch_times)) if batch_times else 0.0,
+        batch_time_median=float(np.median(batch_times))
+        if batch_times else 0.0,
         preprocess_time=preprocess_time,
         params=bp, state=bs, history=history)
