@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--rs", default="288,512",
                     help="rows_per_block values to sweep")
     ap.add_argument("--precisions", default="int8,int8mxu")
+    ap.add_argument("--no-host", action="store_true",
+                    help="skip the host-scipy reference (err reported as "
+                    "-1): at 5M nodes the contended-host scipy pass alone "
+                    "busts timeouts, and the 5M errors are already "
+                    "characterized (RESULTS.md) — only the speed ranking "
+                    "is in question")
     args = ap.parse_args()
 
     import numpy as np
@@ -44,8 +50,10 @@ def main():
     from grandtpu.infer import Propagator
 
     adj, feats = build_graph(n=args.n, avg_degree=args.deg, f=args.f)
-    _, host_out = bench_host_scipy(adj, feats, order=args.order)
-    scale = max(np.max(np.abs(host_out)), 1e-9)
+    host_out, scale = None, 1.0
+    if not args.no_host:
+        _, host_out = bench_host_scipy(adj, feats, order=args.order)
+        scale = max(np.max(np.abs(host_out)), 1e-9)
     x = jnp.asarray(feats)
     jax.block_until_ready(x)
 
@@ -67,7 +75,8 @@ def main():
             sync(out)
             per_call = (time.time() - t0) / args.repeats
             eps = adj.nnz * args.order / per_call
-            err = float(np.max(np.abs(np.asarray(out) - host_out)) / scale)
+            err = (float(np.max(np.abs(np.asarray(out) - host_out)) / scale)
+                   if host_out is not None else -1.0)
             row = {"precision": prec, "rows_per_block": r,
                    "edges_per_s": eps, "rel_err": err,
                    "compile_s": round(compile_s, 1)}
