@@ -41,9 +41,17 @@ def _add_config_flags(p: argparse.ArgumentParser):
 
 
 def _build_config(args) -> GrandConfig:
-    base = (preset(args.dataset, args.prop_mode or "ppr")
-            if args.dataset in PRESETS else
-            GrandConfig(dataset=args.dataset))
+    # --preset applies a named preset's hyperparameters to ANY dataset
+    # (e.g. a synth:* scale stand-in run under the Amazon2M recipe);
+    # without it, a dataset whose name IS a preset gets its preset.
+    pname = getattr(args, "preset", None)
+    if pname:
+        base = preset(pname, args.prop_mode or "ppr").replace(
+            dataset=args.dataset or pname)
+    elif args.dataset in PRESETS:
+        base = preset(args.dataset, args.prop_mode or "ppr")
+    else:
+        base = GrandConfig(dataset=args.dataset)
     overrides = {}
     for f in dataclasses.fields(GrandConfig):
         v = getattr(args, f.name, None)
@@ -222,6 +230,9 @@ def cli(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_run = sub.add_parser("run", help="train + evaluate one config")
     _add_config_flags(p_run)
+    p_run.add_argument("--preset", default=None, choices=sorted(PRESETS),
+                       help="apply this dataset preset's hyperparameters "
+                       "to --dataset (scale runs on synth:* stand-ins)")
     p_run.add_argument("--platform", default="default",
                        choices=["default", "cpu", "tpu"],
                        help="JAX backend (cpu avoids the shared chip; "
@@ -232,6 +243,9 @@ def cli(argv=None) -> int:
     p_pred = sub.add_parser(
         "predict", help="classify all nodes from a checkpoint")
     _add_config_flags(p_pred)
+    p_pred.add_argument("--preset", default=None, choices=sorted(PRESETS),
+                        help="apply this dataset preset's hyperparameters "
+                        "to --dataset")
     p_pred.add_argument("--platform", default="default",
                         choices=["default", "cpu", "tpu"])
     p_pred.add_argument("--ckpt", required=True,

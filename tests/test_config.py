@@ -45,3 +45,34 @@ def test_conf_is_runtime_resolved():
 def test_unknown_dataset():
     with pytest.raises(KeyError):
         preset("imagenet")
+
+
+def test_cli_preset_flag_applies_to_synth_dataset():
+    """--preset grafts a named recipe onto any dataset (scale runs use
+    synth:* stand-ins under the real presets); explicit flags still win."""
+    from grandtpu.cli.main import cli as _  # noqa: F401 (import check)
+    from grandtpu.cli.main import _build_config
+
+    class A:
+        pass
+
+    args = A()
+    for f in __import__("dataclasses").fields(
+            __import__("grandtpu.config", fromlist=["GrandConfig"]
+                       ).GrandConfig):
+        setattr(args, f.name, None)
+    args.dataset = "synth:5000:47:100"
+    args.prop_mode = None
+    args.preset = "Amazon2M"
+    args.hidden = 128   # explicit override beats the preset
+    cfg = _build_config(args)
+    ref = preset("Amazon2M")
+    assert cfg.dataset == "synth:5000:47:100"
+    assert (cfg.order, cfg.alpha, cfg.top_k) == (ref.order, ref.alpha,
+                                                 ref.top_k)
+    assert cfg.loss == ref.loss and cfg.use_bn == ref.use_bn
+    assert cfg.hidden == 128
+    # no preset: synth dataset gets plain defaults
+    args.preset = None
+    args.hidden = None
+    assert _build_config(args).hidden != ref.hidden
