@@ -32,7 +32,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--rs", default="288,512",
                     help="rows_per_block values to sweep")
-    ap.add_argument("--precisions", default="int8,int8mxu")
+    # 'int8cast' FORCES the legacy bf16-cast matmul (plain 'int8' auto-
+    # upgrades to the MXU kernel on row-constant operators since r4, so
+    # the two arms must name the kernels explicitly to measure anything)
+    ap.add_argument("--precisions", default="int8cast,int8mxu")
     ap.add_argument("--no-host", action="store_true",
                     help="skip the host-scipy reference (err reported as "
                     "-1): at 5M nodes the contended-host scipy pass alone "

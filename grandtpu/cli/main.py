@@ -66,7 +66,15 @@ def _apply_platform(args) -> None:
     must be jax.config.update — and early (see CLAUDE.md)."""
     plat = getattr(args, "platform", None)
     if plat and plat != "default":
+        import os
+
         import jax
+        if plat == "tpu" and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+            # this environment's chip registers as the experimental 'axon'
+            # platform, not 'tpu' — map the user-facing name so
+            # --platform tpu selects the chip instead of raising
+            # "unable to initialize backend 'tpu'"
+            plat = "axon"
         jax.config.update("jax_platforms", plat)
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -37,6 +39,12 @@ def fetch_replicated(mesh: Mesh, x) -> np.ndarray:
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
     from jax.sharding import NamedSharding, PartitionSpec as P
-    repl = jax.jit(lambda a: a,
-                   out_shardings=NamedSharding(mesh, P()))(x)
-    return np.asarray(repl)
+    return np.asarray(_replicator(NamedSharding(mesh, P()))(x))
+
+
+@functools.lru_cache(maxsize=16)
+def _replicator(sharding):
+    # jit caching keys on the function OBJECT: a fresh lambda per fetch
+    # would recompile the all_gather every propagator call in a real
+    # multi-process run, so cache the jitted identity per sharding
+    return jax.jit(lambda a: a, out_shardings=sharding)

@@ -65,14 +65,15 @@ def _propagate_device(adj_op, x, *, mode: str, order: int,
             return jnp.dot(adj_op, v, preferred_element_type=jnp.float32)
         if backend == "block":
             # v is block-padded; keep it padded through the loop
-            if precision in ("int8", "int8mxu"):
+            if precision in ("int8", "int8mxu", "int8cast"):
                 # true int8 MXU matmul whenever the operator has
                 # row-constant values (D^-1 A does): measured on v5e
                 # 325.9M vs 272.7M edges/s AND rel err 1.8e-3 vs 4.3e-3
                 # (bench/q8mxu_probe.py) — strictly better, so plain
                 # "int8" auto-upgrades; the bf16-cast kernel remains for
-                # general-valued operators
-                if row_val is not None:
+                # general-valued operators, and 'int8cast' forces it so
+                # the probe's adjudication stays reproducible
+                if row_val is not None and precision != "int8cast":
                     return spmm_split_q8mxu(adj_op, v, row_val, trim=False)
                 return spmm_split_q8(adj_op, v, trim=False)
             return spmm_split(adj_op, v, fast=precision == "bf16",
@@ -222,12 +223,13 @@ class Propagator:
             else:
                 precision = self._auto_precision or choose_fast_precision(
                     self.num_rows, np.shape(features)[1])
+        if self.backend != "block" and precision in ("int8mxu", "int8cast"):
+            raise ValueError(
+                f"{precision} applies to the 'block' backend only")
         if precision == "int8mxu" and getattr(self, "row_val", None) is None:
             raise ValueError(
                 "int8mxu needs row-constant operator values (D^-1 A has "
                 "them; this operator does not) — use 'int8' instead")
-        if self.backend != "block" and precision == "int8mxu":
-            raise ValueError("int8mxu applies to the 'block' backend only")
         x = jnp.asarray(features, self.dtype)
         return _propagate_device(self.adj_op, x, mode=mode,
                                  order=order, alpha=float(alpha),

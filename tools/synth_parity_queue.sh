@@ -25,7 +25,14 @@ else
       python -m grandtpu.cli.main run --dataset "$ds" --platform cpu \
       $seeds > /tmp/grandtpu_${ds}.out 2>> "$LOG"
     rc=$?
-    tail -1 /tmp/grandtpu_${ds}.out >> "$OUT"
+    # only a clean run's summary line goes into the evidence file — a
+    # timeout/crash leaves a partial last line that would corrupt the jsonl
+    if [ "$rc" -eq 0 ] && tail -1 /tmp/grandtpu_${ds}.out \
+        | python -c 'import json,sys; json.loads(sys.stdin.read())' 2>/dev/null; then
+      tail -1 /tmp/grandtpu_${ds}.out >> "$OUT"
+    else
+      echo "!!! $ds rc=$rc — summary NOT appended" >> "$LOG"
+    fi
     cat /tmp/grandtpu_${ds}.out >> "$LOG"
     echo "=== $(date -u +%H:%M:%S) done $ds rc=$rc ===" >> "$LOG"
   done
