@@ -81,6 +81,16 @@ PRESET_FLAGS = {
     "--loss kl --weight_decay 1e-2 --input_droprate 0.0 "
     "--hidden_droprate 0.0 --top_k 64 --lam 1.5 --unlabel_num 10000 "
     "--unlabel_batch_size 100 --batch_size 20 --alpha 0.1 --patience 10",
+    ("aminer", "avg"): "--dataset aminer --use_bn --lr 0.01 --rmax 1e-5 "
+    "--nlayers 1 --warmup 100 --prop_mode avg --stop_mode acc --order 4 "
+    "--loss kl --weight_decay 1e-2 --input_droprate 0.0 "
+    "--hidden_droprate 0.0 --top_k 64 --lam 1.5 --unlabel_num 10000 "
+    "--unlabel_batch_size 100 --batch_size 20 --patience 10",
+    ("aminer", "single"): "--dataset aminer --use_bn --lr 0.01 --rmax 1e-5 "
+    "--nlayers 1 --warmup 100 --prop_mode single --stop_mode acc --order 2 "
+    "--loss kl --weight_decay 1e-2 --input_droprate 0.0 "
+    "--hidden_droprate 0.0 --top_k 64 --lam 1.5 --unlabel_num 10000 "
+    "--unlabel_batch_size 100 --batch_size 20 --patience 10",
     # scripts/run_reddit.sh
     ("reddit", "ppr"): "--dataset reddit --use_bn --node_norm --lr 1e-4 "
     "--hidden 512 --rmax 1e-5 --nlayers 2 --warmup 500 --prop_mode ppr "
