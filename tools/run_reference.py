@@ -75,6 +75,16 @@ PRESET_FLAGS = {
     "--nlayers 1 --input_droprate 0.2 --hidden_droprate 0.2 --patience 50 "
     "--sample 2 --prop_mode ppr --alpha 0.5 --warmup 100 --top_k 16 "
     "--rmax 1e-5 --unlabel_batch_size 100 --batch_size 5 --order 6",
+    ("pubmed", "avg"): "--dataset pubmed --use_bn --node_norm "
+    "--clip-norm 0.1 --stop_mode both --patience 100 --weight_decay 1e-2 "
+    "--nlayers 1 --input_droprate 0.2 --hidden_droprate 0.2 --patience 50 "
+    "--sample 2 --prop_mode avg --warmup 1000 --top_k 16 "
+    "--rmax 1e-5 --unlabel_batch_size 100 --batch_size 5 --order 4",
+    ("pubmed", "single"): "--dataset pubmed --use_bn --node_norm "
+    "--clip-norm 0.1 --stop_mode both --patience 100 --weight_decay 1e-2 "
+    "--nlayers 1 --input_droprate 0.2 --hidden_droprate 0.2 --patience 50 "
+    "--sample 2 --prop_mode single --warmup 1000 --top_k 16 "
+    "--rmax 1e-5 --unlabel_batch_size 100 --batch_size 5 --order 2",
     # scripts/run_aminer.sh
     ("aminer", "ppr"): "--dataset aminer --use_bn --lr 0.01 --rmax 1e-5 "
     "--nlayers 1 --warmup 100 --prop_mode ppr --stop_mode acc --order 6 "
@@ -98,6 +108,18 @@ PRESET_FLAGS = {
     "--clip-norm 0.1 --input_droprate 0.0 --hidden_droprate 0.0 "
     "--top_k 64 --lam 1.5 --unlabel_num 10000 --unlabel_batch_size 200 "
     "--batch_size 50 --alpha 0.05 --patience 20 --tem 0.1",
+    ("reddit", "avg"): "--dataset reddit --use_bn --node_norm --lr 1e-4 "
+    "--hidden 512 --rmax 1e-5 --nlayers 2 --warmup 500 --prop_mode avg "
+    "--stop_mode acc --order 6 --loss kl --weight_decay 0.0 "
+    "--clip-norm 0.1 --input_droprate 0.0 --hidden_droprate 0.0 "
+    "--top_k 64 --lam 1.5 --unlabel_num 10000 --unlabel_batch_size 200 "
+    "--batch_size 50 --patience 20 --tem 0.1",
+    ("reddit", "single"): "--dataset reddit --use_bn --node_norm --lr 1e-4 "
+    "--hidden 512 --rmax 1e-7 --nlayers 2 --warmup 500 --prop_mode single "
+    "--stop_mode acc --order 2 --loss kl --weight_decay 0.0 "
+    "--clip-norm 0.1 --input_droprate 0.0 --hidden_droprate 0.0 "
+    "--top_k 64 --lam 1.5 --unlabel_num 10000 --unlabel_batch_size 200 "
+    "--batch_size 50 --patience 20 --tem 0.1",
     # scripts/run_amazon2m.sh
     ("Amazon2M", "ppr"): "--dataset Amazon2M --use_bn --node_norm "
     "--lr 1e-3 --hidden 1024 --rmax 1e-6 --nlayers 2 --warmup 500 "
@@ -105,6 +127,18 @@ PRESET_FLAGS = {
     "--weight_decay 1e-5 --clip-norm -1 --input_droprate 0.0 "
     "--hidden_droprate 0.0 --top_k 64 --lam 0.8 --unlabel_num 10000 "
     "--unlabel_batch_size 200 --batch_size 50 --alpha 0.2 --patience 30",
+    ("Amazon2M", "avg"): "--dataset Amazon2M --use_bn --node_norm "
+    "--lr 1e-3 --hidden 1024 --rmax 1e-6 --nlayers 2 --warmup 500 "
+    "--tem 0.1 --prop_mode avg --stop_mode acc --order 4 --loss kl "
+    "--weight_decay 1e-5 --clip-norm -1 --input_droprate 0.0 "
+    "--hidden_droprate 0.0 --top_k 64 --lam 0.8 --unlabel_num 10000 "
+    "--unlabel_batch_size 200 --batch_size 50 --patience 30",
+    ("Amazon2M", "single"): "--dataset Amazon2M --use_bn --node_norm "
+    "--lr 1e-3 --hidden 1024 --rmax 1e-6 --nlayers 2 --warmup 500 "
+    "--tem 0.1 --prop_mode single --stop_mode acc --order 2 --loss kl "
+    "--weight_decay 1e-5 --clip-norm -1 --input_droprate 0.0 "
+    "--hidden_droprate 0.0 --top_k 32 --lam 0.8 --unlabel_num 10000 "
+    "--unlabel_batch_size 200 --batch_size 50 --patience 30",
     # scripts/run_mag.sh (sparse-feature engine, model_mag.py)
     ("mag_scholar_c", "ppr"): "--dataset mag_scholar_c --lr 0.01 "
     "--unlabel_num 10000 --stop_mode acc --weight_decay 0 "
@@ -113,6 +147,20 @@ PRESET_FLAGS = {
     "--unlabel_batch_size 20 --eval_batch 10 --batch_size 20 --loss l2 "
     "--clip-norm -1 --order 10 --rmax 1e-5 --lam 1.0 --top_k 32 "
     "--prop_mode ppr",
+    ("mag_scholar_c", "avg"): "--dataset mag_scholar_c --lr 0.01 "
+    "--unlabel_num 10000 --stop_mode acc --weight_decay 0 "
+    "--input_droprate 0.0 --hidden_droprate 0.2 --dropnode_rate 0.5 "
+    "--patience 20 --sample 2 --warmup 1000 "
+    "--unlabel_batch_size 20 --eval_batch 10 --batch_size 20 --loss l2 "
+    "--clip-norm -1 --order 10 --rmax 1e-5 --lam 1.0 --top_k 32 "
+    "--prop_mode avg",
+    ("mag_scholar_c", "single"): "--dataset mag_scholar_c --lr 0.01 "
+    "--unlabel_num 10000 --stop_mode acc --weight_decay 0 "
+    "--input_droprate 0.0 --hidden_droprate 0.2 --dropnode_rate 0.5 "
+    "--patience 20 --sample 2 --warmup 1000 "
+    "--unlabel_batch_size 20 --eval_batch 10 --batch_size 20 --loss l2 "
+    "--clip-norm -1 --order 2 --rmax 1e-5 --lam 1.0 --top_k 32 "
+    "--prop_mode single",
 }
 
 # datasets whose run scripts vary the SPLIT seed across runs
