@@ -118,6 +118,10 @@ class HaloShardedGraph:
     rows_per_shard: int
     rows_per_block: int
     halo_per_pair: int       # C_max
+    # per-row operator value when rows are constant-valued (D^-1 A: 1/deg)
+    # — upgrades the int8 HALO matmul to exact int8 x int8 -> int32 on the
+    # MXU (value applied after), mirroring spmm_shard/BlockShardedGraph
+    row_val: jnp.ndarray | None = None   # float32 [S, rows_per] or None
 
     @property
     def num_shards(self) -> int:
@@ -190,9 +194,21 @@ class HaloShardedGraph:
         cols_h, vals_h, lrow_h = _fill_sharded_blocks(
             d_of[halo_m], local_r[halo_m], remapped, vals[halo_m],
             S, rows_per, rows_per_block)
+        # coo-of-csr is row-major, so (vals, col, indptr) is the folded
+        # D^-1 A in CSR form — same row-constancy check as spmm_shard
+        from grandtpu.sparse.spmm import row_values_if_constant
+        rv = row_values_if_constant(
+            sp.csr_matrix((vals, col.astype(np.int32), adj.indptr),
+                          shape=adj.shape))
+        row_val = None
+        if rv is not None:
+            row_val = jnp.asarray(
+                np.pad(rv.astype(np.float32),
+                       (0, rows_per * S - n)).reshape(S, rows_per))
         return HaloShardedGraph(
             cols_d, vals_d, lrow_d, cols_h, vals_h, lrow_h,
-            jnp.asarray(send_idx), n, rows_per, rows_per_block, c_max)
+            jnp.asarray(send_idx), n, rows_per, rows_per_block, c_max,
+            row_val)
 
 
 class HaloPropagator:
@@ -206,6 +222,8 @@ class HaloPropagator:
             jax.device_put(a, sh)
             for a in (g.cols_diag, g.vals_diag, g.lrow_diag,
                       g.cols_halo, g.vals_halo, g.lrow_halo, g.send_idx))
+        self.row_val = (None if g.row_val is None
+                        else jax.device_put(g.row_val, sh))
 
     def place(self, x: np.ndarray):
         n, f = self.g.num_nodes, x.shape[1]
@@ -228,26 +246,41 @@ class HaloPropagator:
             x = self.place(x)
 
         r = g.rows_per_block
+        # row-constant operator + int8 halo -> run the halo matmul as
+        # exact int8 x int8 -> int32 on the MXU (value applied per-row
+        # after; same upgrade as spmm_shard / single-chip q8mxu). The
+        # diagonal partial sum stays exact f32 either way.
+        use_mxu = precision == "int8" and self.row_val is not None
+        in_specs = (P(axis, None, None),) * 6 + (P(axis, None, None),
+                                                 P(axis, None))
+        args = self.edge_ops + (x,)
+        if use_mxu:
+            in_specs += (P(axis, None),)
+            args += (self.row_val,)
 
-        @functools.partial(
-            jax.shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None, None),) * 6 + (P(axis, None, None),
-                                                   P(axis, None)),
-            out_specs=P(axis, None))
+        @functools.partial(jax.shard_map, mesh=self.mesh,
+                           in_specs=in_specs, out_specs=P(axis, None))
         def prop(cols_d, vals_d, lrow_d, cols_h, vals_h, lrow_h,
-                 send_idx, x_local):
+                 send_idx, x_local, *maybe_rv):
             cols_d, vals_d, lrow_d, cols_h, vals_h, lrow_h, send_idx = (
                 cols_d[0], vals_d[0], lrow_d[0], cols_h[0], vals_h[0],
                 lrow_h[0], send_idx[0])
+            rv = maybe_rv[0][0] if use_mxu else None
             rows_per = x_local.shape[0]
             iota = jnp.arange(r, dtype=jnp.int32)[:, None]
 
             def onehot_spmm(blocks, src, scale=None):
                 q8 = src.dtype == jnp.int8
+                mxu = q8 and rv is not None
 
                 def step(_, blk):
                     c, v, lr = blk
                     g_rows = jnp.take(src, c, axis=0)
+                    if mxu:
+                        onehot = (lr[None, :] == iota).astype(jnp.int8)
+                        return None, jax.lax.dot_general(
+                            onehot, g_rows, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
                     if q8:
                         feats = (g_rows.astype(jnp.bfloat16)
                                  * v[:, None].astype(jnp.bfloat16))
@@ -262,6 +295,9 @@ class HaloPropagator:
                 _, outs = jax.lax.scan(step, None, blocks,
                                        unroll=min(4, blocks[0].shape[0]))
                 out = outs.reshape(rows_per, src.shape[1])
+                if mxu:
+                    return out.astype(jnp.float32) * rv[:, None] \
+                        * scale[None, :]
                 return out * scale[None, :] if scale is not None else out
 
             def apply_p(x_loc):
@@ -311,5 +347,5 @@ class HaloPropagator:
                 raise ValueError(f"unknown mode {mode!r}")
             return out
 
-        result = prop(*self.edge_ops, x)
+        result = prop(*args)
         return fetch_replicated(self.mesh, result)[: g.num_nodes]

@@ -187,6 +187,12 @@ class BlockShardedGraph:
     num_nodes: int
     rows_per_shard: int
     rows_per_block: int
+    # per-row operator value when every row's nonzeros share one (D^-1 A
+    # does: 1/deg) — lets the int8 path run the one-hot matmul as exact
+    # int8 x int8 -> int32 on the MXU with the value applied after, the
+    # same upgrade the single-chip path measured at +19.5% AND 2.4x less
+    # quantization error (sparse/spmm.py q8mxu note, bench/q8mxu_probe.py)
+    row_val: jnp.ndarray | None = None   # float32 [S, rows_per] or None
 
     @property
     def num_shards(self) -> int:
@@ -228,9 +234,20 @@ class BlockShardedGraph:
         v[flat] = vals
         lr[flat] = (rows - block * r).astype(np.int32)
         shape = (s_count, nb, eb)
+        # coo-of-csr is row-major, so (vals, cols, indptr) IS the folded
+        # D^-1 A in CSR form — reuse the single-chip row-constant check
+        from grandtpu.sparse.spmm import row_values_if_constant
+        rv = row_values_if_constant(
+            sp.csr_matrix((vals, cols, adj.indptr), shape=adj.shape))
+        row_val = None
+        if rv is not None:
+            row_val = jnp.asarray(
+                np.pad(rv.astype(np.float32),
+                       (0, rows_per * s_count - n)).reshape(s_count,
+                                                            rows_per))
         return BlockShardedGraph(
             jnp.asarray(c.reshape(shape)), jnp.asarray(v.reshape(shape)),
-            jnp.asarray(lr.reshape(shape)), n, rows_per, r)
+            jnp.asarray(lr.reshape(shape)), n, rows_per, r, row_val)
 
 
 class BlockShardedPropagator:
@@ -247,6 +264,8 @@ class BlockShardedPropagator:
         self.cols = jax.device_put(g.cols, sh)
         self.vals = jax.device_put(g.vals, sh)
         self.lrow = jax.device_put(g.lrow, sh)
+        self.row_val = (None if g.row_val is None
+                        else jax.device_put(g.row_val, sh))
 
     def place(self, x: np.ndarray):
         n, f = self.g.num_nodes, x.shape[1]
@@ -265,28 +284,38 @@ class BlockShardedPropagator:
             x = self.place(x)
         out = _block_sharded_prop(self.mesh, self.axis, mode, order, alpha,
                                   precision, g.rows_per_block, self.cols,
-                                  self.vals, self.lrow, x)
+                                  self.vals, self.lrow, x, self.row_val)
         return fetch_replicated(self.mesh, out)[: g.num_nodes]
 
 
 def _block_sharded_prop(mesh, axis, mode, order, alpha, precision, r,
-                        cols_in, vals_in, lrow_in, x_sharded):
+                        cols_in, vals_in, lrow_in, x_sharded,
+                        row_val_in=None):
     mm_dtype = jnp.bfloat16 if precision != "f32" else jnp.float32
     prec = None if precision != "f32" else jax.lax.Precision.HIGHEST
+    # int8 on a row-constant operator runs the matmul itself in int8 on
+    # the MXU (int32 accumulate, per-row value applied after) — same
+    # kernel upgrade as single-chip spmm_split_q8mxu; 'int8cast' forces
+    # the legacy bf16-cast matmul for general-valued operators/probes
+    use_mxu = precision == "int8" and row_val_in is not None
+    in_specs = (P(axis, None, None), P(axis, None, None),
+                P(axis, None, None), P(axis, None))
+    args = (cols_in, vals_in, lrow_in, x_sharded)
+    if use_mxu:
+        in_specs += (P(axis, None),)
+        args += (row_val_in,)
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None, None),
-                  P(axis, None, None), P(axis, None)),
-        out_specs=P(axis, None))
-    def prop(cols, vals, lrow, x_local):
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=P(axis, None))
+    def prop(cols, vals, lrow, x_local, *maybe_rv):
         cols, vals, lrow = cols[0], vals[0], lrow[0]
+        rv = maybe_rv[0][0] if use_mxu else None
         rows_per = x_local.shape[0]
         f = x_local.shape[1]
         iota = jnp.arange(r, dtype=jnp.int32)[:, None]
 
         def apply_p(x_loc):
-            if precision == "int8":
+            if precision in ("int8", "int8cast"):
                 # global per-column scale: max over the shard axis, then
                 # gather int8 — 4x less ICI traffic than f32
                 amax = jax.lax.pmax(jnp.max(jnp.abs(x_loc), axis=0), axis)
@@ -302,7 +331,12 @@ def _block_sharded_prop(mesh, axis, mode, order, alpha, precision, r,
             def step(_, blk):
                 c, v, lr = blk
                 g = jnp.take(x_full, c, axis=0)
-                if precision == "int8":
+                if use_mxu:
+                    onehot = (lr[None, :] == iota).astype(jnp.int8)
+                    return None, jax.lax.dot_general(
+                        onehot, g, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                if scale is not None:
                     # rescale folds in AFTER the matmul (exact: per-column)
                     feats = g.astype(jnp.bfloat16) * v[:, None].astype(
                         jnp.bfloat16)
@@ -316,7 +350,10 @@ def _block_sharded_prop(mesh, axis, mode, order, alpha, precision, r,
             _, outs = jax.lax.scan(step, None, (cols, vals, lrow),
                                    unroll=min(4, cols.shape[0]))
             out = outs.reshape(rows_per, f)
-            return out * scale[None, :] if precision == "int8" else out
+            if use_mxu:
+                return out.astype(jnp.float32) * rv[:, None] \
+                    * scale[None, :]
+            return out * scale[None, :] if scale is not None else out
 
         if mode == "ppr":
             cur = alpha * x_local
@@ -342,7 +379,7 @@ def _block_sharded_prop(mesh, axis, mode, order, alpha, precision, r,
             raise ValueError(f"unknown mode {mode!r}")
         return out
 
-    return prop(cols_in, vals_in, lrow_in, x_sharded)
+    return prop(*args)
 
 
 def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,

@@ -73,6 +73,54 @@ def test_block_sharded_int8_within_quant_tolerance(graph_feats):
     assert np.max(np.abs(got - want)) / scale < 3e-2
 
 
+def test_block_sharded_int8_uses_mxu_kernel_and_matches_single_chip(
+        graph_feats):
+    """On a row-constant operator (D^-1 A) the sharded int8 path runs the
+    exact int8 x int8 -> int32 MXU matmul (same upgrade as single-chip
+    spmm_split_q8mxu). Hop-1 agreement is 1 f32 ulp (verified while
+    writing this); across 4 hops XLA's different fusion orders between
+    the two programs let ulp noise flip occasional int8 round()
+    boundaries, so the gate is one-quant-step scale (1e-3) — still 30x
+    tighter than the generic 3e-2 quantization tolerance, which the
+    bf16-cast kernel would need."""
+    import scipy.sparse as sp
+    from grandtpu.dist import BlockShardedGraph, BlockShardedPropagator
+    from grandtpu.sparse.spmm import (SplitCSR, row_values_if_constant,
+                                      spmm_split_q8mxu)
+    adj, feats, _ = graph_feats
+    n = adj.shape[0]
+    mesh = make_mesh(n_data=8)
+    g = BlockShardedGraph.build(adj, num_shards=8, rows_per_block=8,
+                                pad_multiple=16)
+    assert g.row_val is not None, "D^-1 A must be detected row-constant"
+    got = BlockShardedPropagator(mesh, g)(feats, mode="ppr", order=4,
+                                          alpha=0.3, precision="int8")
+
+    # build D^-1 A with the same f32 rounding sequence as
+    # BlockShardedGraph.build (f32 dinv folded per edge) — a 1-ulp
+    # difference in row_val flips occasional int8 round() boundaries
+    deg = np.asarray(adj.sum(1)).flatten()
+    dinv32 = (1.0 / np.maximum(deg, 1e-12)).astype(np.float32)
+    coo = adj.tocoo()
+    a_norm = sp.csr_matrix(
+        ((coo.data * dinv32[coo.row]).astype(np.float32),
+         adj.indices.astype(np.int32), adj.indptr), shape=adj.shape)
+    scsr = SplitCSR.from_scipy(a_norm, rows_per_block=16, pad_multiple=16)
+    rv = row_values_if_constant(a_norm)
+    n_pad = scsr.num_blocks * scsr.rows_per_block
+    rv_pad = jnp.asarray(np.pad(rv, (0, n_pad - n)))
+
+    x = jnp.asarray(feats)
+    x0 = 0.3 * x
+    cur, acc = x0, x0
+    for _ in range(4):
+        cur = 0.7 * spmm_split_q8mxu(
+            scsr, jnp.pad(cur, ((0, n_pad - n), (0, 0)))[:n_pad],
+            rv_pad)[:n]
+        acc = acc + cur
+    np.testing.assert_allclose(got, np.asarray(acc), rtol=1e-3, atol=1e-3)
+
+
 def test_halo_int8_exchange_within_quant_tolerance(graph_feats):
     """int8-quantized halo all_to_all: only remote contributions carry
     quantization noise (diagonal stays f32)."""
