@@ -33,6 +33,7 @@ import functools
 import numpy as np
 
 from grandtpu.dist.mesh import fetch_replicated
+from grandtpu.sparse.spmm import _block_step_q8mxu
 import scipy.sparse as sp
 
 import jax
@@ -275,12 +276,11 @@ class HaloPropagator:
 
                 def step(_, blk):
                     c, v, lr = blk
-                    g_rows = jnp.take(src, c, axis=0)
                     if mxu:
-                        onehot = (lr[None, :] == iota).astype(jnp.int8)
-                        return None, jax.lax.dot_general(
-                            onehot, g_rows, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+                        # shared kernel-defining contraction (single
+                        # source of truth with the single-chip path)
+                        return None, _block_step_q8mxu(src, iota, c, lr)
+                    g_rows = jnp.take(src, c, axis=0)
                     if q8:
                         feats = (g_rows.astype(jnp.bfloat16)
                                  * v[:, None].astype(jnp.bfloat16))
@@ -302,7 +302,10 @@ class HaloPropagator:
 
             def apply_p(x_loc):
                 f = x_loc.shape[1]
-                if precision == "int8":
+                if precision in ("int8", "int8cast"):
+                    # 'int8cast' quantizes the exchange too but forces the
+                    # legacy bf16-cast matmul (same semantics as the
+                    # all_gather path / single-chip probes)
                     amax = jax.lax.pmax(jnp.max(jnp.abs(x_loc), axis=0),
                                         axis)
                     scale = jnp.where(amax > 0, amax / 127.0, 1.0)

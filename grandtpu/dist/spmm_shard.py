@@ -20,6 +20,7 @@ import functools
 import numpy as np
 
 from grandtpu.dist.mesh import fetch_replicated
+from grandtpu.sparse.spmm import _block_step_q8mxu
 import scipy.sparse as sp
 
 import jax
@@ -330,12 +331,11 @@ def _block_sharded_prop(mesh, axis, mode, order, alpha, precision, r,
 
             def step(_, blk):
                 c, v, lr = blk
-                g = jnp.take(x_full, c, axis=0)
                 if use_mxu:
-                    onehot = (lr[None, :] == iota).astype(jnp.int8)
-                    return None, jax.lax.dot_general(
-                        onehot, g, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
+                    # shared kernel-defining contraction (single source
+                    # of truth with the single-chip q8mxu path)
+                    return None, _block_step_q8mxu(x_full, iota, c, lr)
+                g = jnp.take(x_full, c, axis=0)
                 if scale is not None:
                     # rescale folds in AFTER the matmul (exact: per-column)
                     feats = g.astype(jnp.bfloat16) * v[:, None].astype(

@@ -135,6 +135,74 @@ def test_halo_int8_exchange_within_quant_tolerance(graph_feats):
     assert np.max(np.abs(got - want)) / scale < 3e-2
 
 
+def test_halo_int8_mxu_matches_numpy_oracle(graph_feats):
+    """Pins the halo MXU branch at one-quant-step tolerance: exact-f32
+    diagonal partial + int8 x int8 -> int32 halo contribution with the
+    per-row value and global per-column scale applied after, replayed
+    hop-for-hop in numpy (integer sums are exact in both, so agreement
+    is limited only by f32 fusion-order ulp noise flipping occasional
+    round() boundaries — the same bound as the BlockSharded test)."""
+    import scipy.sparse as sp
+    from grandtpu.dist.halo import HaloPropagator, HaloShardedGraph
+    adj, feats, _ = graph_feats
+    n = adj.shape[0]
+    S, r, order, alpha = 8, 8, 4, 0.3
+    mesh = make_mesh(n_data=8)
+    g = HaloShardedGraph.build(adj, num_shards=S, rows_per_block=r)
+    assert g.row_val is not None
+    got = HaloPropagator(mesh, g)(feats, mode="ppr", order=order,
+                                  alpha=alpha, precision="int8")
+
+    # numpy replay with the same f32 rounding sequence as build
+    deg = np.asarray(adj.sum(1)).flatten()
+    dinv32 = (1.0 / np.maximum(deg, 1e-12)).astype(np.float32)
+    coo = adj.tocoo()
+    vals32 = (coo.data * dinv32[coo.row]).astype(np.float32)
+    rows_per = g.rows_per_shard
+    same = (coo.row // rows_per) == (coo.col // rows_per)
+    a_diag = sp.csr_matrix((vals32[same], (coo.row[same], coo.col[same])),
+                           shape=adj.shape)
+    halo_cnt = sp.csr_matrix(
+        (np.ones(int((~same).sum()), np.int64),
+         (coo.row[~same], coo.col[~same])), shape=adj.shape)
+    rv = dinv32  # row value of D^-1 A
+
+    cur = (alpha * feats).astype(np.float32)
+    acc = cur.copy()
+    for _ in range(order):
+        amax = np.max(np.abs(cur), axis=0)
+        scale = np.where(amax > 0, amax / np.float32(127.0),
+                         np.float32(1.0)).astype(np.float32)
+        q = np.clip(np.round(cur / scale[None, :]), -127,
+                    127).astype(np.int64)
+        halo_part = (halo_cnt @ q).astype(np.float32) \
+            * rv[:, None] * scale[None, :]
+        diag_part = (a_diag @ cur.astype(np.float64)).astype(np.float32)
+        cur = np.float32(1.0 - alpha) * (diag_part + halo_part)
+        acc = acc + cur
+    np.testing.assert_allclose(got, acc, rtol=1e-3, atol=1e-3)
+
+
+def test_halo_int8cast_quantizes_exchange(graph_feats):
+    """'int8cast' must quantize the halo exchange (legacy bf16-cast
+    matmul), not silently fall back to f32 — its result has to sit
+    between the f32 result and quantization noise, i.e. differ from f32
+    but stay within the quant tolerance of the mxu-int8 result."""
+    from grandtpu.dist.halo import HaloPropagator, HaloShardedGraph
+    adj, feats, _ = graph_feats
+    mesh = make_mesh(n_data=8)
+    g = HaloShardedGraph.build(adj, num_shards=8, rows_per_block=8)
+    prop = HaloPropagator(mesh, g)
+    f32 = prop(feats, mode="ppr", order=4, alpha=0.3)
+    cast = prop(feats, mode="ppr", order=4, alpha=0.3,
+                precision="int8cast")
+    mxu = prop(feats, mode="ppr", order=4, alpha=0.3, precision="int8")
+    ref = max(np.abs(f32).max(), 1e-9)
+    assert np.max(np.abs(cast - f32)) / ref > 1e-6, \
+        "int8cast fell back to f32 (exchange not quantized)"
+    assert np.max(np.abs(cast - mxu)) / ref < 3e-2
+
+
 def test_block_sharded_covers_all_edges(graph_feats):
     from grandtpu.dist import BlockShardedGraph
     adj, _, _ = graph_feats
