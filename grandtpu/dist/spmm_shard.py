@@ -402,6 +402,8 @@ def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,
     from grandtpu.dist.halo import (HaloPropagator, HaloShardedGraph,
                                     estimate_halo_compression)
 
+    if precision not in ("auto", "f32", "bf16", "int8", "int8cast"):
+        raise ValueError(f"unknown precision {precision!r}")
     if precision == "auto":
         # same measured working-set heuristic as the single-chip path;
         # sized on the GLOBAL [n, F] carry since the all_gather variant

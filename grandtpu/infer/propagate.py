@@ -217,6 +217,9 @@ class Propagator:
         alias."""
         if precision is None:
             precision = "bf16" if fast else "f32"
+        if precision not in ("auto", "f32", "bf16", "int8", "int8mxu",
+                             "int8cast"):
+            raise ValueError(f"unknown precision {precision!r}")
         if precision == "auto":
             if self.backend != "block":
                 precision = "f32"
