@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--rs", default="224,288,320",
                     help="rows_per_block values to sweep")
     args = ap.parse_args()
+    if args.f % 2 != 0:
+        ap.error(f"--f must be even (got {args.f}): the int4 pack pairs "
+                 f"column j with column j+F/2 into one byte")
 
     import numpy as np
     import scipy.sparse as sp

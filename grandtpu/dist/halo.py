@@ -241,6 +241,8 @@ class HaloPropagator:
         cross the interconnect as int8 with a global per-column scale
         (4x less comm), the diagonal partial sum stays exact f32 — so
         quantization noise touches only remote contributions."""
+        from grandtpu.dist.spmm_shard import _check_dist_precision
+        precision = _check_dist_precision(precision)
         g, axis = self.g, self.axis
         if not isinstance(x, jax.Array) or x.shape[0] != \
                 g.rows_per_shard * g.num_shards:

@@ -169,6 +169,24 @@ def _sharded_prop(mesh, axis, mode, order, alpha, rows_l_in, cols_in,
     return prop(rows_l_in, cols_in, vals_in, dinv_in, x_sharded)
 
 
+_DIST_PRECISIONS = ("f32", "bf16", "int8", "int8cast")
+
+
+def _check_dist_precision(precision: str) -> str:
+    """Validate a sharded-propagator precision string. 'int8mxu' (the
+    single-chip Propagator spelling) maps to 'int8' — the sharded int8
+    path already auto-upgrades to the MXU kernel on row-constant
+    operators; anything outside the allowed set raises instead of
+    silently falling through to the bf16-cast non-quantized branch."""
+    if precision == "int8mxu":
+        return "int8"
+    if precision not in _DIST_PRECISIONS:
+        raise ValueError(
+            f"unknown precision {precision!r}; sharded propagators accept "
+            f"{_DIST_PRECISIONS} (or 'int8mxu' as an alias for 'int8')")
+    return precision
+
+
 @dataclasses.dataclass(frozen=True)
 class BlockShardedGraph:
     """Row-partitioned D^-1 A in the scatter-free BlockCSR layout.
@@ -279,6 +297,7 @@ class BlockShardedPropagator:
     def __call__(self, x, *, mode: str = "ppr", order: int = 10,
                  alpha: float = 0.2,
                  precision: str = "f32") -> np.ndarray:
+        precision = _check_dist_precision(precision)
         g = self.g
         if not isinstance(x, jax.Array) or x.shape[0] != \
                 g.rows_per_shard * g.num_shards:
@@ -385,33 +404,53 @@ def _block_sharded_prop(mesh, axis, mode, order, alpha, precision, r,
 def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,
                          mode: str = "ppr", order: int = 10,
                          alpha: float = 0.2, axis: str = "data",
-                         halo_threshold: float = 0.5,
+                         halo_threshold: float | None = None,
                          precision: str = "f32") -> np.ndarray:
     """Row-partitioned full-graph exact propagation (the reference's test
     HOT LOOP #3, ``model.py:186-210``), choosing the exchange pattern by
-    the measured comm-compression ratio: the halo variant moves
-    S*C_max rows per iteration vs all of X for all_gather, so it wins
-    exactly when ``compression < halo_threshold`` (high shard counts /
-    sparse boundaries); otherwise the all_gather variant rides the
-    scatter-free one-hot-matmul kernel (``BlockShardedPropagator`` — the
-    same formulation the single-chip path measures at 175M edges/s vs 21M
-    for scatter-add), with optional int8-quantized collectives. The ratio
-    comes from the cheap ``estimate_halo_compression`` pass so only ONE
-    sharded representation is ever built. Both trainers route their final
+    the mesh fabric and the measured comm-compression ratio:
+
+    - single-process mesh (``jax.process_count() == 1``, shared-memory /
+      single-host ICI fabric): all_gather UNCONDITIONALLY — the r4
+      crossover sweep (``bench/halo_crossover.py``, RESULTS.md) measured
+      all_gather winning EVERY cell on such meshes, even at compression
+      0.0098, because the halo variant's gather/scatter bookkeeping costs
+      more than the collective saves when the "interconnect" is memory.
+    - multi-process mesh (real ICI/DCN between hosts): the halo variant
+      moves S*C_max rows per iteration vs all of X for all_gather, so it
+      engages when ``compression < halo_threshold`` (default 0.5 — the
+      bandwidth model for a real fabric; re-sweep when multi-chip
+      hardware is available); otherwise all_gather.
+
+    Pass an explicit ``halo_threshold`` to override the fabric policy in
+    either direction (e.g. 1.0 forces halo everywhere for tests).
+
+    The all_gather variant rides the scatter-free one-hot-matmul kernel
+    (``BlockShardedPropagator`` — the same formulation the single-chip
+    path measures at 175M edges/s vs 21M for scatter-add), with optional
+    int8-quantized collectives. The compression ratio comes from the
+    cheap ``estimate_halo_compression`` pass so only ONE sharded
+    representation is ever built. Both trainers route their final
     test-time propagation here when ``num_devices > 1``."""
     from grandtpu.dist.halo import (HaloPropagator, HaloShardedGraph,
                                     estimate_halo_compression)
 
     if precision not in ("auto", "f32", "bf16", "int8", "int8cast"):
         raise ValueError(f"unknown precision {precision!r}")
+    if halo_threshold is None:
+        # fabric-aware default (VERDICT r4 #5): measured all_gather wins
+        # every cell on a single-process mesh; 0.5 models real ICI/DCN
+        halo_threshold = 0.5 if jax.process_count() > 1 else 0.0
     if precision == "auto":
         # same measured working-set heuristic as the single-chip path;
         # sized on the GLOBAL [n, F] carry since the all_gather variant
         # regathers full X per hop and the gather-table regime (not the
         # per-shard slice) is what sets the int8/bf16 ranking
-        from grandtpu.infer.propagate import choose_fast_precision
+        from grandtpu.infer.propagate import (_max_row_nnz,
+                                              choose_fast_precision)
         precision = choose_fast_precision(adj_sl.shape[0],
-                                          int(np.shape(features)[1]))
+                                          int(np.shape(features)[1]),
+                                          max_degree=_max_row_nnz(adj_sl))
     num_shards = int(mesh.shape[axis])
     if num_shards == 1:
         from grandtpu.infer import exact_propagate

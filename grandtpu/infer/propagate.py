@@ -43,14 +43,38 @@ from grandtpu.sparse.spmm import (PaddedCSR, SplitCSR, row_values_if_constant,
 # bounds; re-sweep per hardware generation.
 INT8_MAX_WORKING_SET_BYTES = 1 << 30
 
+# Degree-skew guard (VERDICT r4 #2): int8 quantization noise accumulates
+# over the per-row reduction, so hub rows are the accuracy hazard — the
+# skew probe (bench/skew_probe.py, RESULTS.md) measured int8 rel err at
+# hub degree 15,000 / F=128 at 4.99e-3 (MXU) and 5.03e-3 (cast kernel),
+# i.e. AT/over the 5e-3 fast-path gate. Noise grows ~sqrt(degree), so the
+# guard trips at roughly half the measured hazard (expected err there
+# ~3.7e-3 — a 26% margin under the gate) and auto falls back to bf16
+# rather than picking int8 blind on exactly the power-law graphs SplitCSR
+# was built for.
+INT8_MAX_HUB_DEGREE = 8192
 
-def choose_fast_precision(num_rows: int, num_features: int) -> str:
+
+def choose_fast_precision(num_rows: int, num_features: int,
+                          max_degree: int | None = None) -> str:
     """Heuristic fast-path precision for a block-SpMM workload: 'int8'
     below the measured working-set crossover, 'bf16' above (see
-    ``INT8_MAX_WORKING_SET_BYTES``). Used to resolve ``precision="auto"``
-    when no timed calibration (``Propagator.calibrate``) has run."""
+    ``INT8_MAX_WORKING_SET_BYTES``). ``max_degree`` (max nonzeros in any
+    operator row, when the caller knows it) engages the degree-skew guard:
+    at/above ``INT8_MAX_HUB_DEGREE`` the int8 error on hub rows approaches
+    the 5e-3 accuracy gate, so auto answers 'bf16'. Used to resolve
+    ``precision="auto"`` when no timed calibration
+    (``Propagator.calibrate``) has run."""
+    if max_degree is not None and max_degree >= INT8_MAX_HUB_DEGREE:
+        return "bf16"
     working_set = num_rows * num_features * 4   # the f32 [n, F] carry
     return "int8" if working_set <= INT8_MAX_WORKING_SET_BYTES else "bf16"
+
+
+def _max_row_nnz(adj: sp.spmatrix) -> int:
+    """Max nonzeros in any row — the quantity the int8 skew guard keys on
+    (number of quantized terms a hub row accumulates)."""
+    return int(adj.getnnz(axis=1).max()) if adj.nnz else 0
 
 
 @functools.partial(jax.jit,
@@ -126,6 +150,7 @@ class Propagator:
         384 collapses to 166M — the smaller int8 gather granule shifts
         the block balance; empirical, re-sweep per generation)."""
         n = adj.shape[0]
+        self.max_degree = _max_row_nnz(adj)   # int8 skew-guard input
         deg = np.asarray(adj.sum(1)).flatten()
         dinv = 1.0 / np.maximum(deg, 1e-12)
         a_norm = sp.diags(dinv).dot(adj).tocsr()   # D^-1 A, folded once
@@ -225,7 +250,8 @@ class Propagator:
                 precision = "f32"
             else:
                 precision = self._auto_precision or choose_fast_precision(
-                    self.num_rows, np.shape(features)[1])
+                    self.num_rows, np.shape(features)[1],
+                    max_degree=self.max_degree)
         if self.backend != "block" and precision in ("int8mxu", "int8cast"):
             raise ValueError(
                 f"{precision} applies to the 'block' backend only")
@@ -260,7 +286,8 @@ def exact_propagate(adj: sp.spmatrix, features, *, mode: str = "ppr",
     """
     if precision == "auto":
         precision = choose_fast_precision(adj.shape[0],
-                                          np.shape(features)[1])
+                                          np.shape(features)[1],
+                                          max_degree=_max_row_nnz(adj))
     prop = Propagator(adj, dense_threshold=dense_threshold, backend=backend,
                       dtype=dtype,
                       rows_per_block=288 if precision == "int8" else None)

@@ -99,3 +99,72 @@ def test_dist_auto_resolves_and_matches_single_chip(small_graph, num_shards):
                                      backend="block"))
     scale = max(np.max(np.abs(ref)), 1e-9)
     assert np.max(np.abs(out - ref)) / scale < 5e-3
+
+
+@pytest.fixture(scope="module")
+def skew_graph():
+    """Mini version of the bench/skew_probe.py construction: a uniform base
+    graph plus hub rows whose nnz clears the int8 skew-guard threshold."""
+    import scipy.sparse as sp
+    from grandtpu.data import synthetic_graph
+    from grandtpu.infer.propagate import INT8_MAX_HUB_DEGREE
+
+    n, hub_deg = 10_000, 9_000
+    assert hub_deg >= INT8_MAX_HUB_DEGREE
+    adj, feats, _ = synthetic_graph(num_nodes=n, num_classes=4,
+                                    num_features=64, avg_degree=4, seed=11)
+    rs = np.random.RandomState(7)
+    hub_rows = np.repeat(rs.choice(n, 2, replace=False), hub_deg)
+    # without replacement per hub so the realized row nnz equals hub_deg
+    hub_cols = np.concatenate([rs.permutation(n)[:hub_deg]
+                               for _ in range(2)])
+    hubs = sp.coo_matrix((np.ones(hub_rows.size, np.float32),
+                          (hub_rows, hub_cols)), shape=adj.shape)
+    adj = (adj + hubs.tocsr() + sp.eye(n, format="csr")).tocsr()
+    adj.data[:] = 1.0
+    return adj, feats
+
+
+def test_heuristic_skew_guard():
+    """VERDICT r4 #2: the working-set heuristic must not pick int8 when a
+    hub row's accumulation length approaches the measured accuracy hazard
+    (rel err 4.99-5.03e-3 at degree 15K/F=128, AT the 5e-3 gate)."""
+    from grandtpu.infer.propagate import INT8_MAX_HUB_DEGREE
+    # small working set, benign degrees: int8 as before
+    assert choose_fast_precision(300_000, 128, max_degree=100) == "int8"
+    # same working set, hub at/over the guard: bf16
+    assert choose_fast_precision(
+        300_000, 128, max_degree=INT8_MAX_HUB_DEGREE) == "bf16"
+    assert choose_fast_precision(300_000, 128, max_degree=15_000) == "bf16"
+    # unknown degree preserves the legacy working-set-only behavior
+    assert choose_fast_precision(300_000, 128) == "int8"
+
+
+def test_auto_never_busts_gate_on_skew_graph(skew_graph):
+    """On the skew-probe construction, auto resolves away from int8 (the
+    Propagator records its operator's max row nnz) and the path it does
+    take stays inside the 5e-3 fast-path gate vs exact f32."""
+    adj, feats = skew_graph
+    prop = Propagator(adj, backend="block")
+    assert prop.max_degree >= 9_000
+    ref = np.asarray(prop(feats, mode="ppr", order=4))
+    auto = np.asarray(prop(feats, mode="ppr", order=4, precision="auto"))
+    bf16 = np.asarray(prop(feats, mode="ppr", order=4, precision="bf16"))
+    np.testing.assert_array_equal(auto, bf16)   # guard routed to bf16
+    scale = max(np.max(np.abs(ref)), 1e-9)
+    assert np.max(np.abs(auto - ref)) / scale < 5e-3
+
+
+def test_exact_propagate_auto_skew_guard(skew_graph):
+    """The one-shot entry point applies the same guard (it resolves auto
+    BEFORE the operator build)."""
+    adj, feats = skew_graph
+    ref = np.asarray(exact_propagate(adj, feats, mode="ppr", order=3,
+                                     backend="block"))
+    out = np.asarray(exact_propagate(adj, feats, mode="ppr", order=3,
+                                     backend="block", precision="auto"))
+    want = np.asarray(exact_propagate(adj, feats, mode="ppr", order=3,
+                                      backend="block", precision="bf16"))
+    np.testing.assert_array_equal(out, want)
+    scale = max(np.max(np.abs(ref)), 1e-9)
+    assert np.max(np.abs(out - ref)) / scale < 5e-3

@@ -554,3 +554,82 @@ def test_gspmd_sharded_sparse_step(emb_mode, mesh_shape):
                         jax.tree.leaves(p2[part])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4)
+
+
+def _dispatch_branch(monkeypatch, adj, feats, processes):
+    """Run dist_exact_propagate with default halo_threshold under a faked
+    process count; return which exchange variant it built."""
+    import grandtpu.dist.spmm_shard as shard_mod
+    from grandtpu.dist.halo import HaloShardedGraph
+
+    built = []
+    real_halo, real_block = (HaloShardedGraph.build,
+                             shard_mod.BlockShardedGraph.build)
+    monkeypatch.setattr(
+        "grandtpu.dist.halo.HaloShardedGraph.build",
+        staticmethod(lambda *a, **k: (built.append("halo"),
+                                      real_halo(*a, **k))[1]))
+    monkeypatch.setattr(
+        shard_mod.BlockShardedGraph, "build",
+        staticmethod(lambda *a, **k: (built.append("block"),
+                                      real_block(*a, **k))[1]))
+    monkeypatch.setattr(shard_mod.jax, "process_count",
+                        lambda: processes)
+    mesh = make_mesh(n_data=8)
+    out = shard_mod.dist_exact_propagate(mesh, adj, feats, mode="ppr",
+                                         order=3, alpha=0.2)
+    want = np.asarray(exact_propagate(adj, feats, mode="ppr", order=3,
+                                      alpha=0.2))
+    np.testing.assert_allclose(out, want, atol=1e-4)
+    assert len(built) == 1, "dispatch must build exactly one sharded graph"
+    return built[0]
+
+
+def test_dispatch_fabric_default_single_process(monkeypatch):
+    """VERDICT r4 #5: on a single-process mesh the default dispatch takes
+    all_gather UNCONDITIONALLY — even on a graph whose halo compression is
+    well under 0.5 — because the r4 crossover sweep measured all_gather
+    winning every cell on shared-memory/single-host fabrics."""
+    from grandtpu.data import synthetic_graph
+    from grandtpu.dist.halo import estimate_halo_compression
+    import scipy.sparse as sp
+    adj, feats, _ = synthetic_graph(num_nodes=4096, num_classes=4,
+                                    num_features=8, avg_degree=3, seed=1)
+    adj = (adj + sp.eye(4096, format="csr")).tocsr()
+    assert estimate_halo_compression(adj, 8) < 0.5   # halo-eligible graph
+    assert _dispatch_branch(monkeypatch, adj, feats, processes=1) == "block"
+
+
+def test_dispatch_fabric_default_multi_process(monkeypatch):
+    """On a multi-process mesh (real ICI/DCN) the 0.5 compression
+    threshold engages, so the same halo-eligible graph routes to the halo
+    exchange."""
+    from grandtpu.data import synthetic_graph
+    import scipy.sparse as sp
+    adj, feats, _ = synthetic_graph(num_nodes=4096, num_classes=4,
+                                    num_features=8, avg_degree=3, seed=1)
+    adj = (adj + sp.eye(4096, format="csr")).tocsr()
+    assert _dispatch_branch(monkeypatch, adj, feats, processes=2) == "halo"
+
+
+def test_sharded_propagator_precision_validation(graph_feats):
+    """ADVICE r4: unknown precision strings raise in the propagators
+    themselves (not just the dist_exact_propagate entry point), and the
+    single-chip 'int8mxu' spelling maps to the sharded 'int8' path."""
+    from grandtpu.dist import BlockShardedGraph, BlockShardedPropagator
+    from grandtpu.dist.halo import HaloPropagator, HaloShardedGraph
+
+    adj, feats, _ = graph_feats
+    mesh = make_mesh(n_data=8)
+    bp = BlockShardedPropagator(mesh, BlockShardedGraph.build(
+        adj, num_shards=8, rows_per_block=8, pad_multiple=16))
+    hp = HaloPropagator(mesh, HaloShardedGraph.build(adj, num_shards=8))
+    for prop in (bp, hp):
+        with pytest.raises(ValueError, match="unknown precision"):
+            prop(feats, order=2, precision="int9")
+    want = np.asarray(exact_propagate(adj, feats, mode="ppr", order=3,
+                                      alpha=0.3))
+    for prop in (bp, hp):
+        got = prop(feats, mode="ppr", order=3, alpha=0.3,
+                   precision="int8mxu")
+        np.testing.assert_allclose(got, want, atol=3e-2)

@@ -20,7 +20,14 @@ def _load(path, mean_key, std_key):
     out = {}
     for line in open(path):
         d = json.loads(line)
-        out[(d["dataset"], d["prop_mode"])] = (d[mean_key], d[std_key])
+        key = (d["dataset"], d["prop_mode"])
+        if key in out:
+            # appended re-runs happen; last-wins is the convention, but it
+            # must be visible so stale evidence can't silently replace cells
+            import sys
+            print(f"WARNING: duplicate cell {key} in {path} — using the "
+                  f"last occurrence", file=sys.stderr)
+        out[key] = (d[mean_key], d[std_key])
     return out
 
 
@@ -30,7 +37,13 @@ def main():
     print(f"{'preset':16s} {'mode':7s} {'reference':>15s} "
           f"{'grandtpu':>15s} {'d/sigma':>8s}")
     worst = 0.0
-    for key in sorted(ref, key=lambda k: (k[0].lower(), k[1])):
+    for key in sorted(set(ref) | set(gt),
+                      key=lambda k: (k[0].lower(), k[1])):
+        if key not in ref:
+            gm, gs = gt[key]
+            print(f"{key[0]:16s} {key[1]:7s} (no reference run) "
+                  f"{gm*100:6.2f}% +-{gs*100:5.2f}")
+            continue
         rm, rs = ref[key]
         if key not in gt:
             print(f"{key[0]:16s} {key[1]:7s} "
@@ -42,7 +55,9 @@ def main():
         print(f"{key[0]:16s} {key[1]:7s} "
               f"{rm*100:6.2f}% +-{rs*100:5.2f} "
               f"{gm*100:6.2f}% +-{gs*100:5.2f} {ds:8.2f}")
-    print(f"\ncells: {len(ref)}   worst |delta|/sigma: {worst:.2f}"
+    paired = len(set(ref) & set(gt))
+    print(f"\ncells: {paired} paired / {len(set(ref) | set(gt))} total"
+          f"   worst |delta|/sigma: {worst:.2f}"
           f"   all within 1 sigma: {worst <= 1.0}")
 
 
