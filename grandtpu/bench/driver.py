@@ -11,15 +11,45 @@ Details go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import scipy.sparse as sp
 
+# Pinned idle-host reference-engine denominator (VERDICT r4 #4b): the live
+# scipy measurement moves up to 3x with host load (it polluted the r2 push
+# numbers and made BENCH_r04's vs_baseline disagree with the same-code
+# RESULTS.md re-run 174.9x vs 215.5x), so the official ratio uses a
+# committed idle-host value and the live measurement is reported alongside.
+# Protocol: best of 7 runs of ``bench_host_scipy`` on the standard bench
+# graph (n=300K, nnz=6.63M, F=128, order=5) on an idle host (load<1,
+# only the session agent running), measured 2026-08-20. Re-pin if the
+# host hardware changes.
+PINNED_HOST_BASELINE_EDGES_PER_S = 2.165e6
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (VERDICT r4 #4a): amortizes the
+    intermittent 100-216s remote-compile spike seen through the axon
+    tunnel since r2 — once any round has compiled the bench executables,
+    later runs deserialize instead of recompiling. Must run before the
+    first jit."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "build", "jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything: the spike hits executables whose normal compile is
+    # seconds, so the default 1s/small-entry thresholds must not skip them
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
 
 
 def build_graph(n=300_000, avg_degree=30, f=128, seed=0):
@@ -96,6 +126,8 @@ def bench_host_scipy(adj, feats, order=5, alpha=0.2):
 
 def main():
     order = 5
+    cache_dir = enable_compilation_cache()
+    log(f"persistent compilation cache: {cache_dir}")
     adj, feats = build_graph()
     host_eps, host_out = bench_host_scipy(adj, feats, order=order)
     from grandtpu.infer import Propagator
@@ -131,11 +163,19 @@ def main():
     # don't hardcode
     best_eps, best_name = max((q8_eps, "int8"), (bf16_eps, "bf16"))
     log(f"headline path: {best_name}")
+    log(f"vs_baseline: {best_eps / PINNED_HOST_BASELINE_EDGES_PER_S:.1f}x "
+        f"(pinned idle-host denominator "
+        f"{PINNED_HOST_BASELINE_EDGES_PER_S:.3e}); live host measured "
+        f"{host_eps:.3e} -> {best_eps / host_eps:.1f}x")
     print(json.dumps({
         "metric": "spmm_propagation_edges_per_s",
         "value": best_eps,
         "unit": "edges/s",
-        "vs_baseline": best_eps / host_eps,
+        # official ratio on the PINNED idle-host denominator; the live
+        # measurement rides along for drift detection
+        "vs_baseline": best_eps / PINNED_HOST_BASELINE_EDGES_PER_S,
+        "vs_baseline_live": best_eps / host_eps,
+        "host_live_edges_per_s": host_eps,
     }), flush=True)
 
 

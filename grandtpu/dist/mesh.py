@@ -48,3 +48,24 @@ def _replicator(sharding):
     # would recompile the all_gather every propagator call in a real
     # multi-process run, so cache the jitted identity per sharding
     return jax.jit(lambda a: a, out_shardings=sharding)
+
+
+def fetch_leaf(x) -> np.ndarray:
+    """Host numpy of ONE array leaf, safe under real multi-process runs.
+
+    Fully-addressable leaves (single-process, or replicated) fetch
+    directly. A cross-process-sharded leaf (e.g. the vocab-sharded MAG
+    embedding table) is resharded to replicated over ITS OWN mesh first —
+    one XLA all_gather, so every process must reach this call (it is a
+    collective). This is what lets checkpoint save and the trainers' best-
+    state fetch run unchanged whether the mesh spans one process or many.
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = x.sharding
+    if not isinstance(sharding, NamedSharding):
+        raise TypeError(
+            f"cannot fetch non-addressable array with {type(sharding)}; "
+            f"only NamedSharding carries the mesh needed to replicate")
+    return np.asarray(_replicator(NamedSharding(sharding.mesh, P()))(x))

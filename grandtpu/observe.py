@@ -60,9 +60,19 @@ class StepTimer:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics file (no-op when path is None)."""
+    """Append-only JSONL metrics file (no-op when path is None).
+
+    Multi-process runs (world > 1 under ``jax.distributed``) write from
+    rank 0 only: every rank computes identical metrics (the train state is
+    replicated), so one writer keeps the JSONL free of duplicate and
+    interleaved lines on a shared filesystem. Non-zero ranks construct a
+    no-op logger."""
 
     def __init__(self, path: str | None):
+        if path:
+            import jax
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                path = None   # rank-0-writes
         self.path = path
         self._fh = None
         if path:

@@ -52,11 +52,16 @@ def row_padded_meta(before: dict, after: dict) -> dict[str, int]:
 
 
 def _flatten_with_paths(tree):
+    from grandtpu.dist.mesh import fetch_leaf
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     out = {}
     for path, leaf in flat:
         key = "/".join(str(p) for p in path)
-        out[key] = np.asarray(leaf)
+        # fetch_leaf handles cross-process-sharded leaves (vocab-sharded
+        # embedding tables) via a replicate collective — which is why in a
+        # multi-process run EVERY rank must call save_checkpoint, even
+        # though only rank 0 writes the file
+        out[key] = fetch_leaf(leaf)
     return out, treedef
 
 
@@ -68,7 +73,12 @@ def save_checkpoint(path: str, *, params, state, opt_state=None,
                     backend: str = "npz") -> None:
     """row_padded: {flat leaf key: original dim0} for leaves the mesh
     placement row-padded (see :func:`row_padded_meta`); recorded in the
-    meta so restore slices exactly those and nothing else."""
+    meta so restore slices exactly those and nothing else.
+
+    Multi-process semantics (world > 1 under ``jax.distributed``): every
+    rank MUST call this together — fetching cross-process-sharded leaves
+    is a collective — but only rank 0 writes the file (shared-filesystem
+    convention; ranks other than 0 return after the fetch)."""
     arrays = {}
     for name, tree in (("params", params), ("state", state),
                        ("opt", opt_state)):
@@ -77,6 +87,8 @@ def save_checkpoint(path: str, *, params, state, opt_state=None,
         flat, _ = _flatten_with_paths(tree)
         for k, v in flat.items():
             arrays[f"{name}|{k}"] = v
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return   # rank-0-writes: the collective fetch above already ran
     meta = {"num_batch": num_batch, "best_val_acc": best_val_acc,
             "best_val_loss": best_val_loss,
             "__row_padded__": row_padded or {}, **(extra or {})}

@@ -262,8 +262,12 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     from grandtpu.observe import profile_trace
     bp, bs = best["params"], best["state"]
     if mesh is not None:
-        bp = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bp)
-        bs = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bs)
+        # fetch_leaf replicates cross-process-sharded leaves (the vocab-
+        # sharded table under world>1) before the host fetch — a plain
+        # np.asarray would raise on non-addressable shards
+        from grandtpu.dist.mesh import fetch_leaf
+        bp = jax.tree.map(lambda x: jnp.asarray(fetch_leaf(x)), bp)
+        bs = jax.tree.map(lambda x: jnp.asarray(fetch_leaf(x)), bs)
     # with a mesh, the embedding-space power iteration (the memory-critical
     # step on MAG-scale graphs, model_mag.py:192-233) runs row-partitioned
     propagate = None

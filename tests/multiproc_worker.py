@@ -12,6 +12,12 @@ in-process loops:
   asserted equal (1e-4) to a single-device step on identical inputs.
 - ``dist_exact_propagate`` down BOTH exchange branches on the global mesh,
   asserted against the local single-device ``exact_propagate``.
+- (VERDICT r4 #6) a vocab-sharded SPARSE (MAG) train step over the global
+  mesh, asserted equal to a single-device step.
+- (VERDICT r4 #6) the full sparse trainer end-to-end under world>1 with
+  checkpointing + JSONL metrics: rank-0-writes semantics (one writer, no
+  duplicate lines), row-padded vocab table restored through
+  ``load_checkpoint``, and a ``resume=True`` rerun from latest.npz.
 
 Run by ``tests/test_multiprocess.py``: every rank must print RANK<i> OK
 and exit 0.
@@ -26,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     rank, world, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    shared_dir = sys.argv[4]   # shared scratch for ckpt/metrics assertions
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=2")
     import jax
@@ -117,6 +124,106 @@ def main() -> None:
                                    alpha=0.2, halo_threshold=thr)
         np.testing.assert_allclose(out, ref, atol=1e-4,
                                    err_msg=f"halo_threshold={thr}")
+
+    # --- (d) vocab-sharded sparse (MAG) step over the global mesh -------
+    from grandtpu.config import GrandConfig
+    from grandtpu.dist.data_parallel import shard_sparse_train_inputs
+    from grandtpu.dist.mesh import fetch_leaf
+    from grandtpu.nn.mag_mlp import init_mag_mlp
+    from grandtpu.nn.sparse_input import PaddedFeatures
+    from grandtpu.train.trainer_sparse import _build_sparse_steps
+
+    rs = np.random.RandomState(3)
+    vocab = 30   # deliberately not divisible by the 4-device data axis
+    sfeats = sp.random(n, vocab, density=0.15, format="csr",
+                       random_state=rs, dtype=np.float32)
+    sfeats.data[:] = np.abs(sfeats.data) + 0.1
+    padded = PaddedFeatures.from_csr(sfeats)
+    scfg = GrandConfig(dataset="x", batch_size=16, unlabel_batch_size=16,
+                       sample=2, dropnode_rate=0.5, lam=1.0, warmup=10.0,
+                       tem=0.1, loss="l2", clip_norm=0.1, hidden=16,
+                       nlayers=2, use_bn=True, input_droprate=0.0)
+    smlp = MLPConfig(num_features=vocab, num_classes=2, hidden=16,
+                     nlayers=2, use_bn=True)
+    sopt = make_optimizer(0.01, 1e-3)
+    sparams, sstate = init_mag_mlp(jax.random.PRNGKey(0), smlp)
+    sopt_state = sopt.init(sparams)
+    sstep, _ = _build_sparse_steps(smlp, scfg, sopt, 2)
+    stk = gfpush(adj, sources, prop_mode="ppr", order=3, alpha=0.2,
+                 rmax=0.0, k=4, backend="numpy")
+    sbatch_np = {"rows": np.arange(32, dtype=np.int32),
+                 "labels": labels.argmax(-1)[:16].astype(np.int32),
+                 "label_mask": np.ones(16, np.float32)}
+    skey = jax.random.PRNGKey(7)
+
+    lp, _, _, ll = sstep(put(sparams), put(sstate), put(sopt_state),
+                         put(np.asarray(padded.attr_cols)),
+                         put(np.asarray(padded.attr_vals)),
+                         put(stk.cols), put(stk.vals), put(sbatch_np),
+                         put(skey), put(jnp.float32(0)))
+    pp, ss, oo, ac, av, tc, tv = shard_sparse_train_inputs(
+        mesh, params=sparams, state=sstate, opt_state=sopt_state,
+        attr_cols=jnp.asarray(padded.attr_cols),
+        attr_vals=jnp.asarray(padded.attr_vals),
+        tk_cols=jnp.asarray(stk.cols), tk_vals=jnp.asarray(stk.vals),
+        emb_mode="vocab")
+    sbatch = shard_batch(mesh, {k: jnp.asarray(v)
+                                for k, v in sbatch_np.items()})
+    p2, _, _, l2 = sstep(pp, ss, oo, ac, av, tc, tv, sbatch, skey,
+                         jnp.float32(0))
+    assert abs(float(l2) - float(ll)) < 1e-4, (float(l2), float(ll))
+    # the table is cross-process-sharded: fetch_leaf replicates it first
+    np.testing.assert_allclose(fetch_leaf(p2["emb"]["table"])[:vocab],
+                               np.asarray(lp["emb"]["table"]), atol=1e-4)
+
+    # --- (e) sparse trainer end-to-end: world>1 ckpt + metrics ----------
+    import dataclasses
+    import json
+
+    from jax.experimental import multihost_utils
+
+    from grandtpu.train.checkpoint import load_checkpoint
+    from grandtpu.train.trainer_sparse import train_sparse
+
+    ckpt_dir = os.path.join(shared_dir, "ck")
+    metrics_path = os.path.join(shared_dir, "metrics.jsonl")
+    cfg_e = GrandConfig(dataset="synth:240:3:30:sparse",
+                        sparse_features=True, epochs=6, patience=4,
+                        order=3, alpha=0.2, rmax=1e-6, top_k=16, hidden=32,
+                        nlayers=2, batch_size=32, unlabel_batch_size=32,
+                        warmup=20.0, eval_batch=5, push_backend="numpy",
+                        num_devices=n_global, ckpt_dir=ckpt_dir,
+                        metrics_path=metrics_path, save_every=1)
+    r = train_sparse(cfg_e)
+    multihost_utils.sync_global_devices("ckpt-metrics-written")
+    best_path = os.path.join(ckpt_dir, "best.npz")
+    assert os.path.exists(best_path), "rank 0 must have written best.npz"
+    assert os.path.exists(os.path.join(ckpt_dir, "latest.npz"))
+    # one writer -> parseable JSONL with no duplicated eval lines
+    lines = [json.loads(line) for line in open(metrics_path)]
+    evals = [ln["batch"] for ln in lines if "val_acc" in ln]
+    assert evals and len(evals) == len(set(evals)), \
+        f"duplicate metrics lines (two writers?): {evals}"
+    assert sum(1 for ln in lines if ln.get("event") == "train_end") == 1
+    # restore on every rank: the vocab-padded table slices back to the true
+    # vocab via the recorded row_padded meta
+    mlp_e = MLPConfig(num_features=30, num_classes=3, hidden=32, nlayers=2,
+                      use_bn=cfg_e.use_bn, node_norm=cfg_e.node_norm,
+                      input_droprate=cfg_e.input_droprate,
+                      hidden_droprate=cfg_e.hidden_droprate)
+    pt, st = init_mag_mlp(jax.random.PRNGKey(0), mlp_e)
+    bp, _, _, meta = load_checkpoint(best_path, params_template=pt,
+                                     state_template=st)
+    assert np.asarray(bp["emb"]["table"]).shape[0] == 30
+    np.testing.assert_allclose(np.asarray(bp["emb"]["table"]),
+                               np.asarray(r.params["emb"]["table"])[:30],
+                               atol=1e-5)
+    assert abs(float(meta["best_val_acc"]) - r.best_val_acc) < 1e-6
+    # resume from latest.npz under world>1 (every rank reads, loop continues)
+    cfg_r = dataclasses.replace(cfg_e, resume=True, epochs=2)
+    r2 = train_sparse(cfg_r)
+    assert r2.num_batches >= r.num_batches, (r2.num_batches, r.num_batches)
+    multihost_utils.sync_global_devices("resume-done")
 
     print(f"RANK{rank} OK", flush=True)
 

@@ -4,8 +4,10 @@ Spawns 2 real processes that join a JAX distributed system
 (``jax.distributed.initialize``, CPU backend, 2 local devices each) and
 exercise the cross-process code paths for real — the
 ``process_allgather`` branch of ``multihost_native_gfpush``, a GSPMD
-train step over the global 4-device mesh, and both
-``dist_exact_propagate`` exchange branches — each asserted against
+train step over the global 4-device mesh, both ``dist_exact_propagate``
+exchange branches, a vocab-sharded SPARSE (MAG) train step, and the full
+sparse trainer end-to-end with world>1 checkpoint + metrics
+(rank-0-writes, row-padded restore, resume) — each asserted against
 single-process results inside ``tests/multiproc_worker.py``.
 """
 
@@ -24,14 +26,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed():
+def test_two_process_distributed(tmp_path):
     world = 2
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(rank), str(world), str(port)],
+            [sys.executable, WORKER, str(rank), str(world), str(port),
+             str(tmp_path)],
             cwd=REPO, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT)
         for rank in range(world)
