@@ -101,6 +101,14 @@ class GrandConfig:
     metrics_path: Optional[str] = None  # JSONL metrics stream
     profile_dir: Optional[str] = None   # jax.profiler trace output
 
+    # test-time exact-propagation precision (reference computes this on the
+    # host in f32/f64, model.py:186-210 — f32 is the parity default).
+    # 'bf16'/'int8'/'auto' are the fast paths (5e-3 gate, skew-guarded);
+    # 'bf16_carry' additionally keeps the [n, H] power-iteration carries in
+    # bf16 — halves propagation HBM, the backoff that lets MAG-scale
+    # (12.4M x 64) predict fit a single 16GB chip
+    predict_precision: str = "f32"
+
     @property
     def conf(self) -> float:
         """Confidence threshold injected at runtime in the reference

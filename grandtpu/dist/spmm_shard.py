@@ -435,6 +435,10 @@ def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,
     from grandtpu.dist.halo import (HaloPropagator, HaloShardedGraph,
                                     estimate_halo_compression)
 
+    if precision == "bf16_carry":
+        # single-chip memory backoff; sharded carries already split over
+        # the mesh, so run the plain bf16 kernel with f32 carries
+        precision = "bf16"
     if precision not in ("auto", "f32", "bf16", "int8", "int8cast"):
         raise ValueError(f"unknown precision {precision!r}")
     if halo_threshold is None:

@@ -108,6 +108,12 @@ def _propagate_device(adj_op, x, *, mode: str, order: int,
     if backend == "block":
         n_pad = adj_op.num_blocks * adj_op.rows_per_block
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    if x.dtype != jnp.float32:
+        # bf16-carry mode (exact_propagate 'bf16_carry'): the kernels
+        # accumulate/return f32, so cast each hop's output back to the
+        # carry dtype — halved-memory carries are the entire point
+        _apply = apply_p
+        apply_p = lambda v: _apply(v).astype(x.dtype)  # noqa: E731
 
     if mode == "ppr":
         x0 = alpha * x
@@ -282,8 +288,14 @@ def exact_propagate(adj: sp.spmatrix, features, *, mode: str = "ppr",
     <=1GiB working sets), and 'auto' (working-set heuristic between the
     two, resolved BEFORE the operator build so int8 gets its own R=288
     block size) are opt-in — the default stays f32 because this feeds
-    the accuracy-critical test-time propagation.
+    the accuracy-critical test-time propagation. 'bf16_carry' = bf16
+    matmul AND bf16 loop carries: halves the [n, F] propagation HBM
+    footprint (the backoff that fits MAG-scale 12.4M x 64 embedding-space
+    predict on one 16GB chip); accumulation error grows with order, so
+    it is a memory knob, not a speed default.
     """
+    if precision == "bf16_carry":
+        precision, dtype = "bf16", jnp.bfloat16
     if precision == "auto":
         precision = choose_fast_precision(adj.shape[0],
                                           np.shape(features)[1],

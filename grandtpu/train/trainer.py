@@ -172,11 +172,13 @@ def train(cfg: GrandConfig, data: Optional[GraphData] = None,
             from grandtpu.dist import dist_exact_propagate
             prop = dist_exact_propagate(
                 mesh, adj_sl, np.asarray(data.features, np.float32),
-                mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha)
+                mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha,
+                precision=cfg.predict_precision)
         else:
             prop = exact_propagate(adj_sl, np.asarray(data.features),
                                    mode=cfg.prop_mode, order=cfg.order,
-                                   alpha=cfg.alpha)
+                                   alpha=cfg.alpha,
+                                   precision=cfg.predict_precision)
         test_acc = test_accuracy(best["params"], best["state"], mlp_cfg,
                                  prop, data.idx_test, labels_int)
     total_time = time.time() - t_start

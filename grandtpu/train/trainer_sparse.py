@@ -257,8 +257,11 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
     history = out["history"]
 
     # predict: all-node embeddings -> propagate in embedding space -> head
-    # (use the unpadded/unsharded attr tables: the mesh path row-pads them)
-    from grandtpu.infer.classify import predict_logits_sparse
+    # (reference model_mag.py:192-233), phase-wise so MAG-scale memory
+    # fits: the [n, H] power iteration must not coexist with the training
+    # operands on a single chip (12.4M nodes: attr tables 2.4GB + Adam
+    # moments 1.4GB + ~3x [n, H] f32 carries 9.5GB + operator 3.5GB > 16GB)
+    from grandtpu.infer.classify import embed_all_nodes, head_logits
     from grandtpu.observe import profile_trace
     bp, bs = best["params"], best["state"]
     if mesh is not None:
@@ -268,20 +271,35 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
         from grandtpu.dist.mesh import fetch_leaf
         bp = jax.tree.map(lambda x: jnp.asarray(fetch_leaf(x)), bp)
         bs = jax.tree.map(lambda x: jnp.asarray(fetch_leaf(x)), bs)
-    # with a mesh, the embedding-space power iteration (the memory-critical
-    # step on MAG-scale graphs, model_mag.py:192-233) runs row-partitioned
-    propagate = None
-    if mesh is not None:
-        from grandtpu.dist import dist_exact_propagate
-        propagate = lambda embs: dist_exact_propagate(  # noqa: E731
-            mesh, adj_sl, embs, mode=cfg.prop_mode, order=cfg.order,
-            alpha=cfg.alpha)
     with profile_trace(cfg.profile_dir):
-        logits = predict_logits_sparse(
-            bp, bs, mlp_cfg, jnp.asarray(padded.attr_cols),
-            jnp.asarray(padded.attr_vals), adj_sl,
-            mode=cfg.prop_mode, order=cfg.order, alpha=cfg.alpha,
-            propagate=propagate)
+        # phase 1 — embeddings. No mesh: reuse the resident attr tables;
+        # mesh: they were row-padded/sharded, so upload the raw ones.
+        if mesh is None:
+            embs = embed_all_nodes(bp, attr_cols, attr_vals)
+        else:
+            embs = embed_all_nodes(bp, jnp.asarray(padded.attr_cols),
+                                   jnp.asarray(padded.attr_vals))
+        # phase 2 — release every training-held device reference before
+        # the propagation allocates its carries. Rebinding the locals
+        # updates step_fn/eval_fn's closure cells, so the buffers free.
+        attr_cols = attr_vals = tk_cols = tk_vals = None
+        opt_state = None
+        out["params"] = out["state"] = out["opt_state"] = None
+        best["params"] = best["state"] = None
+        if mesh is not None:
+            # row-partitioned power iteration (memory splits over devices)
+            from grandtpu.dist import dist_exact_propagate
+            prop = dist_exact_propagate(
+                mesh, adj_sl, embs, mode=cfg.prop_mode, order=cfg.order,
+                alpha=cfg.alpha, precision=cfg.predict_precision)
+        else:
+            from grandtpu.infer import exact_propagate
+            prop = exact_propagate(adj_sl, embs, mode=cfg.prop_mode,
+                                   order=cfg.order, alpha=cfg.alpha,
+                                   precision=cfg.predict_precision)
+        del embs
+        logits = head_logits(bp, bs, mlp_cfg, prop)
+        del prop
     preds = logits.argmax(1)
     test_acc = float(np.equal(preds[data.idx_test],
                               labels_int[data.idx_test]).mean())
