@@ -168,3 +168,55 @@ def test_exact_propagate_auto_skew_guard(skew_graph):
     np.testing.assert_array_equal(out, want)
     scale = max(np.max(np.abs(ref)), 1e-9)
     assert np.max(np.abs(out - ref)) / scale < 5e-3
+
+
+def test_bf16_carry_mode(small_graph):
+    """'bf16_carry' (the MAG-scale memory backoff) propagates in bf16
+    carries: output dtype is bf16, values track f32 within the bf16
+    accumulation tolerance, and the plain Propagator rejects the string
+    (it is an exact_propagate-level mapping)."""
+    import jax.numpy as jnp
+
+    adj, feats, _ = small_graph
+    ref = np.asarray(exact_propagate(adj, feats, mode="ppr", order=5,
+                                     backend="block"))
+    out = exact_propagate(adj, feats, mode="ppr", order=5, backend="block",
+                          precision="bf16_carry")
+    assert out.dtype == jnp.bfloat16
+    scale = max(np.max(np.abs(ref)), 1e-9)
+    # bf16 carries accumulate error per hop; measured 1.2e-2 at order 10
+    # on a 5K graph — order 5 on the small graph stays well inside 2e-2
+    assert np.max(np.abs(np.asarray(out, np.float32) - ref)) / scale < 2e-2
+    with pytest.raises(ValueError, match="unknown precision"):
+        Propagator(adj, backend="block")(feats, precision="bf16_carry")
+
+
+def test_trainer_predict_precision_threads(tmp_path):
+    """cfg.predict_precision reaches the dense trainer's final
+    propagation (spy asserts the call) and a fast setting keeps e2e
+    accuracy."""
+    import grandtpu.infer.propagate as prop_mod
+    from grandtpu.config import GrandConfig
+    from grandtpu.train import train
+
+    seen = {}
+    real = prop_mod.exact_propagate
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    # trainer.py imports exact_propagate at module level
+    import grandtpu.train.trainer as trainer_mod
+    orig = trainer_mod.exact_propagate
+    trainer_mod.exact_propagate = spy
+    try:
+        cfg = GrandConfig(dataset="synth:240:3:16", epochs=10, patience=8,
+                          order=4, top_k=16, hidden=32, batch_size=32,
+                          unlabel_batch_size=32, warmup=20.0, eval_batch=5,
+                          push_backend="numpy", predict_precision="auto")
+        r = train(cfg)
+    finally:
+        trainer_mod.exact_propagate = orig
+    assert seen.get("precision") == "auto"
+    assert r.test_acc > 0.6
