@@ -68,7 +68,8 @@ def main():
     ap.add_argument("--hub-cols", type=int, default=200)
     ap.add_argument("--hub-indeg", type=int, default=15_000)
     ap.add_argument("--fs", default="128,602")
-    ap.add_argument("--order", type=int, default=5)
+    # single-apply timings (edges/s is per-apply; an order-N loop would
+    # scale both arms identically since the quantize pass is shared)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--r-int8", type=int, default=288)
     ap.add_argument("--r-bf16", type=int, default=512)

@@ -178,10 +178,13 @@ def push_roof(n=300_000, n_src=1024, order=10, alpha=0.2, rmax=1e-5,
                                      block * e_w).astype(np.int32))
         blk_c = jnp.asarray(rs.randint(0, m_blk,
                                        block * e_w).astype(np.int32))
-        g1 = jax.jit(lambda: jnp.take(rec, eid, axis=0))
-        g2 = jax.jit(lambda: jnp.take(g.packed2d, blk_c, axis=0))
-        gather_ms += _timer(g1, sync, repeats) * 1000
-        gather_ms += _timer(g2, sync, repeats) * 1000
+        # large operands travel as jit ARGUMENTS, not closure constants —
+        # closure capture bakes them into the jaxpr and blows up the
+        # serialized remote-compile payload (see train/loop.py note)
+        take = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+        gather_ms += _timer(lambda: take(rec, eid), sync, repeats) * 1000
+        gather_ms += _timer(lambda: take(g.packed2d, blk_c), sync,
+                            repeats) * 1000
         log_width += c_out
     wb = _bucket(max(log_width, k), lo=max(128, k))
     fin_ids = jnp.asarray(rs.randint(0, n, (block, wb)).astype(np.int32))

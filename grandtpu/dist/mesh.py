@@ -39,6 +39,8 @@ def fetch_replicated(mesh: Mesh, x) -> np.ndarray:
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
     from jax.sharding import NamedSharding, PartitionSpec as P
+    if isinstance(x.sharding, NamedSharding):
+        return fetch_leaf(x)   # one copy of the replicate-then-read logic
     return np.asarray(_replicator(NamedSharding(mesh, P()))(x))
 
 

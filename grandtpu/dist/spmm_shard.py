@@ -439,8 +439,11 @@ def dist_exact_propagate(mesh: Mesh, adj_sl, features, *,
         # single-chip memory backoff; sharded carries already split over
         # the mesh, so run the plain bf16 kernel with f32 carries
         precision = "bf16"
-    if precision not in ("auto", "f32", "bf16", "int8", "int8cast"):
-        raise ValueError(f"unknown precision {precision!r}")
+    if precision != "auto":
+        # same validation/aliasing as the propagators themselves
+        # ('int8mxu' -> 'int8'), so a config that works single-chip never
+        # dies at the final multi-device propagation
+        precision = _check_dist_precision(precision)
     if halo_threshold is None:
         # fabric-aware default (VERDICT r4 #5): measured all_gather wins
         # every cell on a single-process mesh; 0.5 models real ICI/DCN

@@ -87,8 +87,15 @@ def save_checkpoint(path: str, *, params, state, opt_state=None,
         flat, _ = _flatten_with_paths(tree)
         for k, v in flat.items():
             arrays[f"{name}|{k}"] = v
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return   # rank-0-writes: the collective fetch above already ran
+    if (backend != "orbax" and jax.process_count() > 1
+            and jax.process_index() != 0):
+        # rank-0-writes applies to the npz single-file backend only: the
+        # collective fetch above already ran, so non-zero ranks return.
+        # Orbax's StandardCheckpointer.save is ITSELF a cross-process
+        # collective (internal sync_global_processes barrier), so under
+        # world>1 every rank must reach it — it coordinates one writer
+        # per shard internally.
+        return
     meta = {"num_batch": num_batch, "best_val_acc": best_val_acc,
             "best_val_loss": best_val_loss,
             "__row_padded__": row_padded or {}, **(extra or {})}

@@ -304,8 +304,22 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                     break
                 num_batch += 1
                 if guard.requested:
-                    # graceful preemption: full state to latest, then stop
-                    if cfg.ckpt_dir:
+                    # graceful preemption: full state to latest, then stop.
+                    # Signals are PER-RANK and not synchronized, so under
+                    # world>1 a collective-fetching save here could pair a
+                    # save collective on this rank against a train-step
+                    # collective on another and deadlock — only save when
+                    # the save needs no collectives (every leaf locally
+                    # addressable; true for replicated dense state) or
+                    # when single-process. Sharded world>1 state relies on
+                    # the eval-boundary save_every checkpoints, whose
+                    # collectives are reached by all ranks in lockstep.
+                    saveable = cfg.ckpt_dir and (
+                        jax.process_count() == 1
+                        or all(getattr(leaf, "is_fully_addressable", True)
+                               for leaf in jax.tree.leaves(
+                                   (params, state, opt_state))))
+                    if saveable:
                         save_checkpoint(
                             f"{cfg.ckpt_dir}/latest.npz", params=params,
                             state=state, opt_state=opt_state,
@@ -313,8 +327,17 @@ def run_training_loop(cfg: GrandConfig, rng, key, *, params, state,
                             best_val_loss=best["loss"],
                             row_padded=row_padded,
                             backend=cfg.ckpt_backend)
-                    verbose(f"preemption signal at batch {num_batch}: "
-                            f"state saved, stopping (resume=True continues)")
+                        verbose(f"preemption signal at batch {num_batch}: "
+                                f"state saved, stopping (resume=True "
+                                f"continues)")
+                    else:
+                        verbose(f"preemption signal at batch {num_batch}: "
+                                f"stopping WITHOUT a fresh save "
+                                f"(cross-process-sharded state; the last "
+                                f"save_every checkpoint is the resume "
+                                f"point)" if cfg.ckpt_dir else
+                                f"preemption signal at batch {num_batch}: "
+                                f"stopping (no ckpt_dir)")
                     metrics_log.log(event="preempted", num_batch=num_batch)
                     preempted = True
                     stop = True

@@ -286,6 +286,11 @@ def train_sparse(cfg: GrandConfig, data: Optional[GraphData] = None,
         opt_state = None
         out["params"] = out["state"] = out["opt_state"] = None
         best["params"] = best["state"] = None
+        # the [vocab, H] table (712MB at MAG scale) is not read again
+        # until the TrainResult return — park it on the host through the
+        # propagation (head_logits reads only fcs/bns)
+        bp = {**bp, "emb": jax.tree.map(lambda x: np.asarray(x),
+                                        bp["emb"])}
         if mesh is not None:
             # row-partitioned power iteration (memory splits over devices)
             from grandtpu.dist import dist_exact_propagate
