@@ -24,6 +24,7 @@ def synthetic_graph(num_nodes: int = 400,
                     sparse_features: bool = False,
                     feature_nnz: int = 24,
                     bow_uniform_frac: float = 0.2,
+                    token_skew: float = 0.0,
                     nonneg_features: bool = False,
                     label_noise: float = 0.0,
                     seed: int = 0):
@@ -82,8 +83,21 @@ def synthetic_graph(num_nodes: int = 400,
         # node's tokens come from its band, the rest uniform
         nnz_per = max(min(feature_nnz, num_features), 1)
         band = max(num_features // num_classes, 1)
-        in_band = rng.randint(0, band, size=(num_nodes, nnz_per)) \
-            + labels[:, None] * band
+        if token_skew > 0.0:
+            # Zipf-like in-band ranks (p concentrates on low ranks as
+            # skew grows): real bag-of-words vocabularies are heavy-
+            # tailed, and at MAG scale (2.78M words / 160 labels) a
+            # UNIFORM band leaves every word seen ~once in training, so
+            # no embedding can learn — measured chance accuracy at 12.4M
+            # nodes with skew 0 vs learnable with skew on (RESULTS.md
+            # MAG-scale section). Default 0.0 preserves the exact RNG
+            # stream the committed parity fixtures were generated with.
+            u = rng.rand(num_nodes, nnz_per)
+            ranks = np.minimum((band * u ** (1.0 + token_skew)).astype(
+                np.int64), band - 1).astype(np.int64)
+        else:
+            ranks = rng.randint(0, band, size=(num_nodes, nnz_per))
+        in_band = ranks + labels[:, None] * band
         uniform = rng.randint(0, num_features, size=(num_nodes, nnz_per))
         cols = np.where(rng.rand(num_nodes, nnz_per) < bow_uniform_frac,
                         uniform, np.minimum(in_band, num_features - 1))

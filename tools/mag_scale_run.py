@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--classes", type=int, default=8)
     ap.add_argument("--deg", type=float, default=18.0)
     ap.add_argument("--feature-nnz", type=int, default=24)
+    ap.add_argument("--token-skew", type=float, default=2.0,
+                    help="Zipf-like in-band token skew (0 = uniform; at "
+                         "MAG vocab scale uniform bands leave every word "
+                         "seen ~once in training -> chance accuracy)")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="shrink n and vocab by this factor (dry runs)")
     ap.add_argument("--predict-precision", default="bf16_carry")
@@ -70,7 +74,7 @@ def main():
     adj, feats, labels = synthetic_graph(
         num_nodes=n, num_classes=args.classes, num_features=vocab,
         avg_degree=args.deg, sparse_features=True,
-        feature_nnz=args.feature_nnz, seed=7)
+        feature_nnz=args.feature_nnz, token_skew=args.token_skew, seed=7)
     build_s = time.time() - t0
     log(f"graph: n={n} nnz={adj.nnz} vocab={vocab} "
         f"feat_nnz={feats.nnz} built in {build_s:.1f}s")
@@ -104,7 +108,7 @@ def main():
     row = {
         "metric": "mag_scale_run",
         "n": n, "adj_nnz": int(adj.nnz), "vocab": vocab,
-        "feat_nnz": int(feats.nnz),
+        "feat_nnz": int(feats.nnz), "token_skew": args.token_skew,
         "preset": "mag_scholar_c/ppr",
         "predict_precision": cfg.predict_precision,
         "test_acc": r.test_acc,
