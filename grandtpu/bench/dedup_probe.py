@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--hub-cols", type=int, default=200)
     ap.add_argument("--hub-indeg", type=int, default=15_000)
     ap.add_argument("--fs", default="128,602")
+    ap.add_argument("--graphs", default="uniform,in-skew")
+    ap.add_argument("--precisions", default="int8mxu,bf16")
     # single-apply timings (edges/s is per-apply; an order-N loop would
     # scale both arms identically since the quantize pass is shared)
     ap.add_argument("--repeats", type=int, default=5)
@@ -121,7 +123,10 @@ def main():
         return eps
 
     results = []
+    wanted = args.graphs.split(",")
     for skew in (False, True):
+        if ("in-skew" if skew else "uniform") not in wanted:
+            continue
         adj = make_graph(skew)
         deg = np.asarray(adj.sum(1)).flatten()
         a_norm = sp.diags(1.0 / np.maximum(deg, 1e-12)).dot(adj).tocsr()
@@ -132,6 +137,8 @@ def main():
             jax.block_until_ready(x)
             for prec, rpb in (("int8mxu", args.r_int8),
                               ("bf16", args.r_bf16)):
+                if prec not in args.precisions.split(","):
+                    continue
                 bcsr = BlockCSR.from_scipy(a_norm, rows_per_block=rpb)
                 u_tab, l_idx, ratio = build_dedup_tables(bcsr)
                 iota = jnp.arange(rpb, dtype=jnp.int32)[:, None]
