@@ -150,7 +150,7 @@ def main():
                     jax.block_until_ready(x_q)
 
                     @jax.jit
-                    def base(cols, lrow, x_q=x_q, iota=iota):
+                    def base(x_q, cols, lrow, iota=iota):
                         def step(_, blk):
                             c, lr = blk
                             return None, _block_step_q8mxu(x_q, iota, c, lr)
@@ -159,7 +159,7 @@ def main():
                         return outs.reshape(n_pad, f)
 
                     @jax.jit
-                    def dedup(u_tab, l_idx, lrow, x_q=x_q, iota=iota):
+                    def dedup(x_q, u_tab, l_idx, lrow, iota=iota):
                         def step(_, blk):
                             uc, li, lr = blk
                             u_feat = jnp.take(x_q, uc, axis=0)   # [U, F]
@@ -172,14 +172,14 @@ def main():
                             step, None, (u_tab, l_idx, lrow), unroll=4)
                         return outs.reshape(n_pad, f)
 
-                    eps_base = bench_kernel(base, (bcsr.cols, bcsr.lrow),
+                    eps_base = bench_kernel(base, (x_q, bcsr.cols, bcsr.lrow),
                                             nnz, f"{prec} base")
                     eps_dd = bench_kernel(dedup,
-                                          (u_tab, l_idx, bcsr.lrow),
+                                          (x_q, u_tab, l_idx, bcsr.lrow),
                                           nnz, f"{prec} dedup")
                 else:
                     @jax.jit
-                    def base(cols, vals, lrow, xp=xp, iota=iota):
+                    def base(xp, cols, vals, lrow, iota=iota):
                         def step(_, blk):
                             c, v, lr = blk
                             feats = (jnp.take(xp, c, axis=0)
@@ -194,7 +194,7 @@ def main():
                         return outs.reshape(n_pad, f)
 
                     @jax.jit
-                    def dedup(u_tab, l_idx, vals, lrow, xp=xp, iota=iota):
+                    def dedup(xp, u_tab, l_idx, vals, lrow, iota=iota):
                         def step(_, blk):
                             uc, li, v, lr = blk
                             u_feat = jnp.take(xp, uc, axis=0)     # [U, F]
@@ -211,10 +211,10 @@ def main():
                         return outs.reshape(n_pad, f)
 
                     eps_base = bench_kernel(
-                        base, (bcsr.cols, bcsr.vals, bcsr.lrow), nnz,
+                        base, (xp, bcsr.cols, bcsr.vals, bcsr.lrow), nnz,
                         f"{prec} base")
                     eps_dd = bench_kernel(
-                        dedup, (u_tab, l_idx, bcsr.vals, bcsr.lrow), nnz,
+                        dedup, (xp, u_tab, l_idx, bcsr.vals, bcsr.lrow), nnz,
                         f"{prec} dedup")
                 row = {"graph": "in-skew" if skew else "uniform",
                        "nnz": int(nnz), "f": f, "precision": prec,
